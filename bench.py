@@ -1,0 +1,86 @@
+"""Headline benchmark: SpGEMM GFLOPS on the 16-matrix suite protocol.
+
+Prints ONE JSON line:
+  {"metric": "spgemm_gflops_geomean_16", "value": N, "unit": "GFLOPS",
+   "vs_baseline": N, ...}
+
+* value        — geometric-mean GFLOPS of the TPU pipeline over the suite
+                 (reference protocol: 2*intprod / total_ms, mask build
+                 excluded — src/main.cu:136, src/Timing.cpp:39-42).
+* vs_baseline  — ratio against the CPU oracle (scipy float64 SpGEMM) run
+                 under the same protocol on this host; the reference repo
+                 publishes no numbers of its own (BASELINE.md), so the
+                 generated CPU-oracle baseline is the comparison point.
+
+Set BENCH_MATRICES=name1,name2 to subset; BENCH_ITERS to change iteration
+count; SUITESPARSE_ROOT to use real SuiteSparse files instead of the
+synthetic stand-ins.
+"""
+
+import json
+import math
+import os
+import sys
+
+
+def main() -> int:
+    import mh_spgemm_tpu  # noqa: F401  (enables x64)
+    from mh_spgemm_tpu import SpGEMMConfig, gflops
+    from mh_spgemm_tpu.baseline import timed_oracle_spgemm
+    from mh_spgemm_tpu.bench.driver import run_matrix
+    from mh_spgemm_tpu.io import suites
+
+    names = os.environ.get("BENCH_MATRICES")
+    names = (names.split(",") if names else suites.SIXTEEN_MATRICES)
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    mode = os.environ.get("BENCH_MODE", "masked")
+    dtype = os.environ.get("BENCH_DTYPE", "float64")
+
+    config = SpGEMMConfig(mode=mode, value_dtype=dtype)
+    per_matrix = {}
+    ours, base = [], []
+    for name in names:
+        try:
+            A = suites.load_matrix(name)
+            res = run_matrix(A, name, config, iters=iters, warmup=2,
+                             check=False, verbose=False)
+            B = A  # suite protocol: C = A @ A
+            _, oracle_ms = timed_oracle_spgemm(A, B)
+            o_gf = gflops(res.intprod, oracle_ms)
+            per_matrix[name] = {
+                "gflops": round(res.gflops, 3),
+                "oracle_gflops": round(o_gf, 3),
+                "nnz_c": res.nnz_c,
+                "total_ms": round(res.timing.total(), 3),
+                "oracle_ms": round(oracle_ms, 3),
+            }
+            if res.gflops > 0:
+                ours.append(res.gflops)
+                base.append(o_gf)
+        except Exception as e:  # scored as failure, like the reference
+            per_matrix[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    if not ours:
+        print(json.dumps({"metric": "spgemm_gflops_geomean_16",
+                          "value": 0.0, "unit": "GFLOPS",
+                          "vs_baseline": 0.0, "detail": per_matrix}))
+        return 1
+
+    geo = math.exp(sum(math.log(x) for x in ours) / len(ours))
+    geo_base = math.exp(sum(math.log(max(x, 1e-12)) for x in base)
+                        / len(base))
+    print(json.dumps({
+        "metric": "spgemm_gflops_geomean_16",
+        "value": round(geo, 3),
+        "unit": "GFLOPS",
+        "vs_baseline": round(geo / geo_base, 3),
+        "baseline": "scipy-f64-cpu-oracle, same protocol",
+        "mode": mode, "dtype": dtype,
+        "n_matrices": len(ours),
+        "detail": per_matrix,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""CPU oracle and differential-testing harness.
+
+The reference verifies against cuSPARSE (``inc/cusparse_spgemm.cuh:6-106``,
+``src/main.cu:187-199``).  The TPU rebuild's oracle is scipy's CSR SpGEMM in
+float64 on the host CPU, timed under the same protocol so it doubles as the
+performance baseline that ``bench.py`` reports ``vs_baseline`` against.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Tuple
+
+import numpy as np
+
+from .csr import CSR
+from .errors import VerificationError
+
+
+def oracle_spgemm(A: CSR, B: CSR) -> CSR:
+    """Exact C = A @ B in float64 on the host CPU.
+
+    Structure semantics match the reference (and cuSPARSE): every
+    *structurally* touched column is kept, including entries whose value
+    cancels to exactly 0.0 — the reference's hash tables insert a column on
+    any intermediate product (``inc/numeric.cuh:215-258``).  scipy's
+    multiply prunes such entries, so the structure is computed separately
+    from a pattern product and the numeric values are aligned onto it.
+    """
+    import scipy.sparse as sp
+    a = sp.csr_matrix((A.val.astype(np.float64), A.col, A.ptr),
+                      shape=(A.M, A.N))
+    b = sp.csr_matrix((B.val.astype(np.float64), B.col, B.ptr),
+                      shape=(B.M, B.N))
+    c = a @ b
+    c.sort_indices()
+    # structural pattern: all-ones values cannot cancel
+    pa = sp.csr_matrix((np.ones(A.nnz), A.col, A.ptr), shape=(A.M, A.N))
+    pb = sp.csr_matrix((np.ones(B.nnz), B.col, B.ptr), shape=(B.M, B.N))
+    s = pa @ pb
+    s.sort_indices()
+
+    if s.nnz == c.nnz:
+        return CSR(M=c.shape[0], N=c.shape[1],
+                   ptr=c.indptr.astype(np.int32),
+                   col=c.indices.astype(np.int32), val=c.data)
+
+    # align: values of c scattered onto s's (superset) pattern
+    n = c.shape[1]
+    rows_s = np.repeat(np.arange(s.shape[0], dtype=np.int64),
+                       np.diff(s.indptr))
+    rows_c = np.repeat(np.arange(c.shape[0], dtype=np.int64),
+                       np.diff(c.indptr))
+    keys_s = rows_s * n + s.indices
+    keys_c = rows_c * n + c.indices
+    vals = np.zeros(s.nnz, dtype=np.float64)
+    if c.nnz:
+        idx = np.searchsorted(keys_c, keys_s)
+        idx = np.minimum(idx, c.nnz - 1)
+        hit = keys_c[idx] == keys_s
+        vals[hit] = c.data[idx[hit]]
+    return CSR(M=s.shape[0], N=s.shape[1], ptr=s.indptr.astype(np.int32),
+               col=s.indices.astype(np.int32), val=vals)
+
+
+def timed_oracle_spgemm(A: CSR, B: CSR) -> Tuple[CSR, float]:
+    """Oracle run + wall time in ms (the 'cusparse_time' analogue)."""
+    t0 = time.perf_counter()
+    C = oracle_spgemm(A, B)
+    return C, (time.perf_counter() - t0) * 1e3
+
+
+def verify(C: CSR, C_ref: CSR, tol: float = 1e-9, verbose: bool = True,
+           raise_on_fail: bool = True) -> bool:
+    """Reference-equivalent check (src/CSR.cu:48-96): exact nnz/ptr/col,
+    values within ``tol`` abs-or-rel."""
+    ok = C.equals(C_ref, tol=tol, verbose=verbose)
+    if not ok and raise_on_fail:
+        raise VerificationError(
+            f"result mismatch: nnz {C.nnz} vs {C_ref.nnz}")
+    return ok

@@ -1,0 +1,190 @@
+"""Benchmark driver — the reference CLI re-created (``src/main.cu:74-217``).
+
+Protocol parity:
+
+* intermediate-product count ``Sigma_i nnz(B[A.col[i]])`` computed on the
+  host before any device work (src/main.cu:102-107),
+* GFLOPS = ``2 * intprod / (total_ms * 1e6)`` with the mask build excluded
+  from total time (src/main.cu:136, src/Timing.cpp:39-42),
+* per-phase time breakdown, C.nnz print, optional oracle comparison
+  (CHECK_RESULT) and CSV append (WRITE),
+* failures are caught, reported, and scored 0 GFLOPS (src/main.cu:120-145).
+
+On TPU a warm-up iteration triggers XLA compilation (the analogue of
+``warm_gpu()`` + CUDA context creation); timed iterations then measure
+steady-state execution including all host readbacks and device fences.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..baseline import oracle_spgemm, timed_oracle_spgemm
+from ..config import SpGEMMConfig
+from ..csr import CSR
+from ..io.mmio import extract_matrix_name, read_mtx
+from ..pipeline import make_plan, spgemm
+from ..timing import Timing, gflops
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    m: int
+    n: int
+    nnz_a: int
+    nnz_c: int
+    intprod: int
+    timing: Timing
+    gflops: float
+    nnzc_per_s: float
+    ok: Optional[bool] = None          # oracle comparison, if run
+    oracle_ms: Optional[float] = None
+    oracle_gflops: Optional[float] = None
+
+    def as_dict(self) -> dict:
+        d = {
+            "name": self.name, "M": self.m, "N": self.n,
+            "nnz_A": self.nnz_a, "nnz_C": self.nnz_c,
+            "intprod": self.intprod, "gflops": self.gflops,
+            "nnzc_per_s": self.nnzc_per_s,
+            "phases_ms": self.timing.as_dict(),
+        }
+        if self.ok is not None:
+            d["check"] = "pass" if self.ok else "error"
+        if self.oracle_gflops is not None:
+            d["oracle_ms"] = self.oracle_ms
+            d["oracle_gflops"] = self.oracle_gflops
+        return d
+
+
+def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
+               iters: int = 3, warmup: int = 2,
+               check: bool = False, verbose: bool = True) -> BenchResult:
+    """Benchmark C = A @ B (B = A, or A^T under config.aat) on one matrix."""
+    B = A.transpose() if (config.aat and not A.is_symmetric) else A
+    intprod = A.intprod(B)  # host-side, like src/main.cu:102-107
+    if verbose:
+        print(f"Matrix {name} ({A.M} , {B.N}) nnz:{A.nnz}")
+        print(f"SpGEMM intermediate result = {intprod}")
+
+    dA = A.device(config.vdtype)
+    dB = B.device(config.vdtype) if B is not A else dA
+    plan = make_plan(dA, dB)
+    plan.intprod = intprod
+
+    C = None
+    bench_timing = Timing()
+    try:
+        for _ in range(warmup):
+            C = spgemm(dA, dB, config=config, timing=Timing(), plan=plan)
+        for _ in range(iters):
+            t = Timing()
+            C = spgemm(dA, dB, config=config, timing=t, plan=plan)
+            bench_timing += t
+        bench_timing /= max(1, iters)
+    except Exception as e:  # reference prints "failed", scores 0 GFLOPS
+        print(f"MH-SpGEMM-TPU failed!!! ({type(e).__name__}: {e})")
+        return BenchResult(name=name, m=A.M, n=B.N, nnz_a=A.nnz, nnz_c=0,
+                           intprod=intprod, timing=bench_timing, gflops=0.0,
+                           nnzc_per_s=0.0, ok=False if check else None)
+
+    nnz_c = C.nnz
+    total_ms = bench_timing.total()
+    gf = gflops(intprod, total_ms)
+    nnzc_rate = nnz_c / (total_ms * 1e-3) if total_ms > 0 else 0.0
+    if verbose:
+        print(f"C.nnz = {nnz_c}")
+        bench_timing.print_step_time()
+        print(f"MH-SpGEMM-TPU runtime is {total_ms:.3f}ms, "
+              f"Gflops is {gf:.2f}")
+
+    res = BenchResult(name=name, m=A.M, n=B.N, nnz_a=A.nnz, nnz_c=nnz_c,
+                      intprod=intprod, timing=bench_timing, gflops=gf,
+                      nnzc_per_s=nnzc_rate)
+    if check:
+        C_ref, oracle_ms = timed_oracle_spgemm(A, B)
+        res.oracle_ms = oracle_ms
+        res.oracle_gflops = gflops(intprod, oracle_ms)
+        res.ok = C.host().equals(C_ref, tol=config.tolerance, verbose=True)
+        if verbose:
+            print(f"oracle(scipy): {oracle_ms:.3f}ms, Gflops is "
+                  f"{res.oracle_gflops:.2f}")
+            print("pass" if res.ok else "error")
+    return res
+
+
+def append_csv(path: str, value: float) -> None:
+    """WRITE-flag CSV append (src/main.cu:202-212)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(f"{value:.2f}\n")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="mh-spgemm-tpu",
+        description="TPU-native SpGEMM benchmark (reference CLI parity)")
+    p.add_argument("matrix", nargs="?",
+                   help=".mtx path or suite matrix name")
+    p.add_argument("--suite", action="store_true",
+                   help="run the 16-matrix suite")
+    p.add_argument("--mode", default="masked", choices=["masked", "esc"])
+    p.add_argument("--dtype", default="float64",
+                   choices=["float64", "float32"])
+    p.add_argument("--aat", action="store_true", help="C = A @ A^T")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--check", action="store_true",
+                   help="verify against the scipy oracle (CHECK_RESULT)")
+    p.add_argument("--write", metavar="CSV",
+                   help="append GFLOPS to CSV (WRITE flag)")
+    p.add_argument("--json", action="store_true",
+                   help="emit one JSON line per matrix")
+    args = p.parse_args(argv)
+
+    tol = 1e-9 if args.dtype == "float64" else 1e-4
+    config = SpGEMMConfig(mode=args.mode, value_dtype=args.dtype,
+                          aat=args.aat, tolerance=tol)
+
+    from ..io import suites
+    names = suites.SIXTEEN_MATRICES if args.suite else [args.matrix]
+    if not names or names[0] is None:
+        p.error("give a matrix path/name or --suite")
+
+    rc = 0
+    for name in names:
+        print("-" * 26 + "SpGEMM Start!!!" + "-" * 26)
+        try:
+            if os.path.exists(name):
+                A = read_mtx(name)
+                label = extract_matrix_name(name)
+            elif "/" in name or name.endswith(".mtx"):
+                raise FileNotFoundError(f"no such matrix file: {name}")
+            else:
+                A = suites.load_matrix(name)
+                label = name
+            res = run_matrix(A, label, config, iters=args.iters,
+                             check=args.check, verbose=not args.json)
+            if args.json:
+                print(json.dumps(res.as_dict()))
+            if args.write:
+                append_csv(args.write, res.gflops)
+            if res.ok is False:
+                rc = 1
+        except Exception as e:
+            print(f"{name}: FAILED ({type(e).__name__}: {e})")
+            rc = 1
+        print("-" * 26 + "SpGEMM   End!!!" + "-" * 26)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""Configuration for the TPU-native MH-SpGEMM pipeline.
+
+The reference keeps all configuration as compile-time ``#define``s and
+``constexpr`` tables (``inc/common.h:7-80``).  On TPU the equivalent is a
+frozen, hashable dataclass: every field participates in the jit cache key, so
+flipping a flag triggers a clean recompile exactly like a ``-D`` rebuild of
+the CUDA library.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# --- type choices (reference: inc/common.h:8-10) -------------------------
+# VALUE_TYPE double / index int / MASK_TYPE uint32.
+INDEX_DTYPE = jnp.int32
+MASK_DTYPE = jnp.uint32
+
+# Width of one mask tile: bit k of a tile's mask means column
+# ``32*tilecol + k`` is nonzero (reference: inc/CSR.h:21-27).
+TILE_BITS = 5
+TILE_WIDTH = 1 << TILE_BITS  # 32
+
+
+@dataclasses.dataclass(frozen=True)
+class SpGEMMConfig:
+    """Frozen pipeline configuration (hashable -> part of jit cache keys).
+
+    Mirrors the reference's compile-time flag set (``inc/common.h``):
+
+    * ``value_dtype``   <-> ``VALUE_TYPE`` (default double).
+    * ``aat``           <-> ``AAT`` (compute C = A @ A.T instead of A @ A).
+    * ``mode``          selects the numeric strategy; the reference has a
+      single hash-based numeric, we expose the TPU-native strategies:
+      - ``"esc"``:    fused expand-sort-compress (sort at column
+                      granularity; symbolic structure falls out of the same
+                      sort; the robust default).
+      - ``"masked"``: MH-style two-stage: tile-mask symbolic (sort at tile
+                      granularity + OR/popcount) then mask-guided numeric
+                      (segmented binary search into the known C structure +
+                      scatter-add; no column-granularity sort).
+    * ``adaptive``      <-> ``ADAPTIVE_GROUPING`` (TPU analogue: per-matrix
+      strategy auto-selection driven by the work estimate, see
+      ops/binning.py).
+    * ``check_result``  <-> ``CHECK_RESULT``.
+    """
+
+    value_dtype: str = "float64"
+    mode: str = "masked"
+    aat: bool = False
+    adaptive: bool = True
+    check_result: bool = False
+    # Numeric tolerance of the result comparator (reference src/CSR.cu:60).
+    tolerance: float = 1e-9
+    # Bucket boundaries for row binning by work estimate (TPU analogue of
+    # the 13-bin tables in inc/binning.cuh; powers of two replace the prime
+    # hash-table sizes because VMEM tiles are power-of-two shaped).
+    bin_bounds: Tuple[int, ...] = (0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                                   1024, 2048, 4096)
+
+    @property
+    def vdtype(self):
+        return jnp.dtype(self.value_dtype)
+
+
+DEFAULT_CONFIG = SpGEMMConfig()

@@ -1,0 +1,35 @@
+"""Device-mesh construction for multi-chip / multi-host SpGEMM.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); scale-out is a new
+capability: a 1-D logical mesh over the ``rows`` axis — A and C are
+row-partitioned, B is replicated or row-sharded + gathered.  On hardware the
+axis is laid out over ICI within a slice; across hosts jax's standard
+multi-process runtime extends the same mesh over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+ROWS = "rows"
+
+
+def make_row_mesh(n_devices: Optional[int] = None,
+                  devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over all (or the first n) devices, axis name 'rows'."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (ROWS,), devices=devs)
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(ROWS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,225 @@
+"""Distributed SpGEMM: row-partitioned C = A @ B over a device mesh.
+
+New capability relative to the single-GPU reference (SURVEY.md §2.3): A and
+C are row-partitioned over the 1-D ``rows`` mesh axis; B is either
+replicated or row-sharded and reassembled per shard with
+``jax.lax.all_gather`` over ICI (the halo-exchange analogue; the ragged
+fetch-only-needed-rows all-to-all is the planned refinement).  Each shard
+runs the fused expand-sort-compress pipeline on its row block under
+``shard_map`` — shapes are capacity-padded to the max over shards so one
+fixed-shape program serves every device, then the host trims.
+
+Everything here also runs on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``) which is how the tests and the
+driver's multi-chip dry-run exercise N-way sharding without N chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, SpGEMMConfig
+from ..csr import CSR
+from ..errors import ShapeMismatchError, SpGEMMError, require
+from ..ops.expand import expand_products_sl
+from ..ops.scan import compact, exclusive_cumsum, rows_reduce_int, seg_scan
+from ..ops.symbolic import _run_starts2
+from .mesh import ROWS
+
+
+@dataclasses.dataclass
+class RowPartition:
+    """Host-side padded row partition of a CSR matrix: shard d owns rows
+    [d*rows_per_shard, (d+1)*rows_per_shard); arrays are padded to the max
+    per-shard nnz so every shard sees one static shape."""
+
+    n_shards: int
+    rows_per_shard: int
+    nnz_cap: int
+    ptr: np.ndarray    # int32[D, R+1] local (0-based) row pointers
+    col: np.ndarray    # int32[D, cap]
+    val: np.ndarray    # float[D, cap]
+    nnz: np.ndarray    # int32[D] true local nnz
+
+
+def partition_rows(A: CSR, n_shards: int, value_dtype=None) -> RowPartition:
+    R = -(-A.M // n_shards)
+    caps = []
+    for d in range(n_shards):
+        lo, hi = d * R, min((d + 1) * R, A.M)
+        caps.append(int(A.ptr[hi] - A.ptr[lo]) if hi > lo else 0)
+    cap = max(1, max(caps))
+    ptr = np.zeros((n_shards, R + 1), dtype=np.int32)
+    col = np.zeros((n_shards, cap), dtype=np.int32)
+    val = np.zeros((n_shards, cap), dtype=value_dtype or A.val.dtype)
+    nnz = np.zeros((n_shards,), dtype=np.int32)
+    for d in range(n_shards):
+        lo, hi = d * R, min((d + 1) * R, A.M)
+        base = A.ptr[lo]
+        local = A.ptr[lo:hi + 1] - base
+        ptr[d, :hi - lo + 1] = local
+        ptr[d, hi - lo + 1:] = local[-1] if hi > lo else 0
+        k = int(local[-1]) if hi > lo else 0
+        col[d, :k] = A.col[base:base + k]
+        val[d, :k] = A.val[base:base + k]
+        nnz[d] = k
+    return RowPartition(n_shards=n_shards, rows_per_shard=R, nnz_cap=cap,
+                        ptr=ptr, col=col, val=val, nnz=nnz)
+
+
+def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
+                      b_col_flat, b_val_flat, *, rows_local: int,
+                      nnz_a_cap: int, total: int, max_group: int):
+    """Per-shard fused ESC SpGEMM on the local row block.
+
+    ``b_lens_g``/``b_starts_g`` describe every *global* B row as a segment
+    of ``b_col_flat``/``b_val_flat`` (which may be a concatenation of
+    gathered per-shard blocks, hence starts instead of a CSR ptr)."""
+    a_ptr = a_ptr.reshape(-1)
+    a_col = a_col.reshape(-1)
+    a_val = a_val.reshape(-1)
+    a_nnz = a_nnz.reshape(())
+
+    ps = expand_products_sl(a_ptr, a_col, b_starts_g[a_col],
+                            b_lens_g[a_col], total, nnz_a_cap,
+                            a_nnz_valid=a_nnz)
+    c = b_col_flat[ps.src]
+    crow = jnp.where(ps.valid, ps.crow, jnp.int32(rows_local))
+    orig = jnp.arange(total, dtype=jnp.int32)
+    s_row, s_col, s_orig = jax.lax.sort((crow, c, orig), num_keys=2)
+
+    v = a_val[ps.a_idx[s_orig]] * b_val_flat[ps.src[s_orig]]
+    v = jnp.where(s_row < rows_local, v, jnp.zeros((), v.dtype))
+
+    new = _run_starts2(s_row, s_col)
+    vsum = seg_scan(jnp.add, new, v, max_group)
+    is_end = (jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+              & (s_row < rows_local))
+
+    # per-local-row nnz: products of row i occupy a contiguous sorted span;
+    # span sizes = per-row product counts
+    lens_masked = jnp.where(
+        jnp.arange(nnz_a_cap, dtype=jnp.int32) < a_nnz, b_lens_g[a_col], 0)
+    p_row = rows_reduce_int(lens_masked, a_ptr)
+    p_ex = exclusive_cumsum(p_row, dtype=jnp.int32)
+    crow_nnz = rows_reduce_int(is_end.astype(jnp.int32), p_ex)
+
+    col_cap = compact(s_col, is_end, total)
+    val_cap = compact(vsum, is_end, total)
+    nnz_total = jnp.sum(is_end.astype(jnp.int32))
+    return (crow_nnz[None], col_cap[None], val_cap[None],
+            nnz_total.reshape(1))
+
+
+def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
+                config: SpGEMMConfig = DEFAULT_CONFIG,
+                b_strategy: str = "allgather") -> CSR:
+    """Distributed C = A @ B (B=None -> B=A, or A^T under config.aat).
+
+    ``b_strategy``:
+      * ``"replicate"`` — B broadcast to every shard (no collectives).
+      * ``"allgather"`` — B row-sharded; shards reassemble it with
+        ``jax.lax.all_gather`` over the ``rows`` axis (ICI/DCN traffic
+        proportional to nnz(B), overlapped by XLA with the expansion).
+    """
+    if B is None:
+        B = A.transpose() if (config.aat and not A.is_symmetric) else A
+    require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
+    D = mesh.devices.size
+    vdtype = config.vdtype
+
+    part = partition_rows(A, D, value_dtype=vdtype)
+    R = part.rows_per_shard
+
+    # per-shard intermediate-product capacity (max over shards)
+    blens = np.diff(B.ptr).astype(np.int64)
+    per_nnz = blens[A.col]
+    caps = []
+    for d in range(D):
+        lo, hi = d * R, min((d + 1) * R, A.M)
+        caps.append(int(per_nnz[A.ptr[lo]:A.ptr[hi]].sum())
+                    if hi > lo else 0)
+    total = max(1, max(caps))
+    require(total < 2**31, SpGEMMError,
+            "per-shard product stream exceeds int32")
+    a_row_nnz = np.diff(A.ptr)
+    max_group = max(1, int(a_row_nnz.max()) if a_row_nnz.size else 1)
+
+    shard = NamedSharding(mesh, P(ROWS))
+    repl = NamedSharding(mesh, P())
+
+    a_ptr = jax.device_put(part.ptr, shard)
+    a_col = jax.device_put(part.col, shard)
+    a_val = jax.device_put(part.val, shard)
+    a_nnz = jax.device_put(part.nnz, shard)
+
+    if b_strategy == "replicate":
+        b_ptr = jax.device_put(B.ptr.astype(np.int32), repl)
+        b_col = jax.device_put(B.col.astype(np.int32), repl)
+        b_val = jax.device_put(B.val.astype(vdtype), repl)
+
+        def wrapped(a_ptr, a_col, a_val, a_nnz, b_ptr, b_col, b_val):
+            return _shard_esc_kernel(
+                a_ptr, a_col, a_val, a_nnz,
+                b_ptr[1:] - b_ptr[:-1], b_ptr[:-1], b_col, b_val,
+                rows_local=R, nnz_a_cap=part.nnz_cap, total=total,
+                max_group=max_group)
+
+        fn = jax.jit(jax.shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS), P(), P(), P()),
+            out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
+        crow_nnz, col_cap, val_cap, nnz_tot = fn(
+            a_ptr, a_col, a_val, a_nnz, b_ptr, b_col, b_val)
+    elif b_strategy == "allgather":
+        bpart = partition_rows(B, D, value_dtype=vdtype)
+        RB, bcap = bpart.rows_per_shard, bpart.nnz_cap
+        b_ptr_l = jax.device_put(bpart.ptr, shard)
+        b_col_l = jax.device_put(bpart.col, shard)
+        b_val_l = jax.device_put(bpart.val, shard)
+
+        def wrapped(a_ptr, a_col, a_val, a_nnz, b_ptr_l, b_col_l, b_val_l):
+            # reassemble B from every shard's block over ICI
+            bp = jax.lax.all_gather(b_ptr_l[0], ROWS)     # [D, RB+1]
+            bc = jax.lax.all_gather(b_col_l[0], ROWS)     # [D, bcap]
+            bv = jax.lax.all_gather(b_val_l[0], ROWS)
+            lens = (bp[:, 1:] - bp[:, :-1]).reshape(-1)   # [D*RB]
+            starts = (bp[:, :-1] +
+                      (jnp.arange(D, dtype=jnp.int32) * bcap)[:, None]
+                      ).reshape(-1)
+            lens = lens[:B.M]
+            starts = starts[:B.M]
+            return _shard_esc_kernel(
+                a_ptr, a_col, a_val, a_nnz, lens, starts,
+                bc.reshape(-1), bv.reshape(-1),
+                rows_local=R, nnz_a_cap=part.nnz_cap, total=total,
+                max_group=max_group)
+
+        fn = jax.jit(jax.shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(ROWS),) * 7,
+            out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
+        crow_nnz, col_cap, val_cap, nnz_tot = fn(
+            a_ptr, a_col, a_val, a_nnz, b_ptr_l, b_col_l, b_val_l)
+    else:
+        raise SpGEMMError(f"unknown b_strategy {b_strategy!r}")
+
+    # host assembly: trim each shard's capacity block to its true nnz
+    crow_nnz = np.asarray(crow_nnz).reshape(D * R)[:A.M]
+    nnz_tot = np.asarray(nnz_tot).reshape(D)
+    col_cap = np.asarray(col_cap).reshape(D, total)
+    val_cap = np.asarray(val_cap).reshape(D, total)
+    cols = np.concatenate([col_cap[d, :nnz_tot[d]] for d in range(D)]) \
+        if nnz_tot.sum() else np.zeros((0,), np.int32)
+    vals = np.concatenate([val_cap[d, :nnz_tot[d]] for d in range(D)]) \
+        if nnz_tot.sum() else np.zeros((0,), val_cap.dtype)
+    cptr = np.zeros(A.M + 1, dtype=np.int32)
+    np.cumsum(crow_nnz, out=cptr[1:])
+    return CSR(M=A.M, N=B.N, ptr=cptr, col=cols.astype(np.int32), val=vals)

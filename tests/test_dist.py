@@ -1,0 +1,79 @@
+"""Distributed SpGEMM on a virtual 8-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mh_spgemm_tpu import SpGEMMConfig, oracle_spgemm
+from mh_spgemm_tpu.bench import gen
+from mh_spgemm_tpu.parallel.mesh import make_row_mesh
+from mh_spgemm_tpu.parallel.spgemm_dist import partition_rows, spgemm_dist
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_row_mesh(n)
+
+
+def test_partition_rows_roundtrip():
+    A = gen.tiny_fixture()
+    part = partition_rows(A, 4)
+    assert part.ptr.shape == (4, 10)
+    # every shard's nnz and rows reassemble the original
+    R = part.rows_per_shard
+    for d in range(4):
+        lo, hi = d * R, min((d + 1) * R, A.M)
+        np.testing.assert_array_equal(
+            part.ptr[d, :hi - lo + 1], A.ptr[lo:hi + 1] - A.ptr[lo])
+        k = part.nnz[d]
+        np.testing.assert_array_equal(part.col[d, :k],
+                                      A.col[A.ptr[lo]:A.ptr[lo] + k])
+
+
+@pytest.mark.parametrize("strategy", ["replicate", "allgather"])
+def test_dist_matches_oracle_small(strategy):
+    mesh = _mesh(4)
+    A = gen.banded(120, band=9, nnz_per_row=5, seed=21)
+    C = spgemm_dist(A, None, mesh, b_strategy=strategy)
+    C_ref = oracle_spgemm(A, A)
+    assert C.equals(C_ref, tol=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ["replicate", "allgather"])
+def test_dist_matches_oracle_powerlaw_8(strategy):
+    mesh = _mesh(8)
+    A = gen.powerlaw(300, avg_nnz=5, seed=22)
+    C = spgemm_dist(A, None, mesh, b_strategy=strategy)
+    C_ref = oracle_spgemm(A, A)
+    assert C.equals(C_ref, tol=1e-9)
+
+
+def test_dist_rectangular():
+    mesh = _mesh(4)
+    from mh_spgemm_tpu import CSR
+    rng = np.random.default_rng(23)
+    A = CSR.from_coo(60, 90, rng.integers(0, 60, 250),
+                     rng.integers(0, 90, 250), rng.standard_normal(250),
+                     sum_duplicates=True)
+    B = CSR.from_coo(90, 40, rng.integers(0, 90, 220),
+                     rng.integers(0, 40, 220), rng.standard_normal(220),
+                     sum_duplicates=True)
+    C = spgemm_dist(A, B, mesh, b_strategy="allgather")
+    assert C.equals(oracle_spgemm(A, B), tol=1e-9)
+
+
+def test_dist_uneven_rows():
+    """M not divisible by D: last shard is ragged."""
+    mesh = _mesh(8)
+    A = gen.random_uniform(101, nnz_per_row=4, seed=24)
+    C = spgemm_dist(A, None, mesh, b_strategy="allgather")
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_dist_single_device():
+    mesh = _mesh(1)
+    A = gen.tiny_fixture()
+    C = spgemm_dist(A, None, mesh, b_strategy="replicate")
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
