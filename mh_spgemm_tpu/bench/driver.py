@@ -76,8 +76,8 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
         print(f"Matrix {name} ({A.M} , {B.N}) nnz:{A.nnz}")
         print(f"SpGEMM intermediate result = {intprod}")
 
-    dA = A.device(config.vdtype)
-    dB = B.device(config.vdtype) if B is not A else dA
+    dA = A.device(config.vdtype, pad=True)
+    dB = B.device(config.vdtype, pad=True) if B is not A else dA
     plan = make_plan(dA, dB)
     plan.intprod = intprod
 

@@ -114,16 +114,35 @@ class CSR:
                    col=self.col.copy(), val=self.val.copy(),
                    is_symmetric=self.is_symmetric)
 
-    def device(self, value_dtype=None):
+    def device(self, value_dtype=None, pad: bool = False):
         """H2D: return a DeviceCSR with jax arrays (reference CSR::H2D,
-        src/CSR.cu:97-110)."""
+        src/CSR.cu:97-110).
+
+        ``pad=True`` quantizes the array extents to the static-shape grid
+        (ops/shapes.py) so matrices of similar size share every compiled
+        kernel — the TPU analogue of the reference's fixed bin/hash-table
+        capacities.  Padded rows are empty (ptr repeats its last value) and
+        padded nonzeros reference column 0 but are excluded from every
+        per-row reduction because they lie beyond ``ptr[M]``.
+        """
         import jax.numpy as jnp
+
+        from .ops.shapes import pad1, quantize
+
         vd = value_dtype or self.val.dtype
+        ptr, col, val = self.ptr, self.col, self.val
+        if pad:
+            m_pad = quantize(self.M)
+            nnz_pad = quantize(max(1, self.nnz))
+            ptr = pad1(ptr, m_pad + 1, fill=ptr[-1])
+            col = pad1(col, nnz_pad, fill=0)
+            val = pad1(val, nnz_pad, fill=0)
         return DeviceCSR(
             M=self.M, N=self.N,
-            ptr=jnp.asarray(self.ptr, dtype=jnp.int32),
-            col=jnp.asarray(self.col, dtype=jnp.int32),
-            val=jnp.asarray(self.val, dtype=vd),
+            ptr=jnp.asarray(ptr, dtype=jnp.int32),
+            col=jnp.asarray(col, dtype=jnp.int32),
+            val=jnp.asarray(val, dtype=vd),
+            nnz_true=self.nnz,
         )
 
     # -- analysis ----------------------------------------------------------
@@ -202,23 +221,43 @@ def _rank_within_group(keys: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass
 class DeviceCSR:
-    """Device-resident CSR (jax arrays).  ``host()`` is the D2H path."""
+    """Device-resident CSR (jax arrays).  ``host()`` is the D2H path.
+
+    Arrays may be capacity-padded (see :meth:`CSR.device`): ``M`` / ``N`` /
+    ``nnz_true`` are the true logical extents, array shapes are the padded
+    static extents.  ``host()`` trims back to the logical sizes.
+    """
 
     M: int
     N: int
-    ptr: object  # jnp int32[M+1]
-    col: object  # jnp int32[nnz]
-    val: object  # jnp value[nnz]
+    ptr: object  # jnp int32[M_pad+1]
+    col: object  # jnp int32[nnz_pad]
+    val: object  # jnp value[nnz_pad]
+    nnz_true: Optional[int] = None
 
     @property
     def nnz(self) -> int:
+        """True logical nnz (falls back to the array extent if unpadded)."""
+        if self.nnz_true is not None:
+            return self.nnz_true
+        return int(self.col.shape[0])
+
+    @property
+    def m_pad(self) -> int:
+        """Padded (static) row count = array extent of ptr minus one."""
+        return int(self.ptr.shape[0]) - 1
+
+    @property
+    def nnz_pad(self) -> int:
+        """Padded (static) nnz = array extent of col/val."""
         return int(self.col.shape[0])
 
     def host(self) -> CSR:
+        nnz = self.nnz
         return CSR(M=self.M, N=self.N,
-                   ptr=np.asarray(self.ptr),
-                   col=np.asarray(self.col),
-                   val=np.asarray(self.val))
+                   ptr=np.asarray(self.ptr)[: self.M + 1],
+                   col=np.asarray(self.col)[:nnz],
+                   val=np.asarray(self.val)[:nnz])
 
     def block_until_ready(self) -> "DeviceCSR":
         self.val.block_until_ready()

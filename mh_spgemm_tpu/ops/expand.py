@@ -83,7 +83,10 @@ def expand_products(a_ptr: jax.Array, a_col: jax.Array,
     """
     starts = b_seg_ptr[a_col]
     lens = b_seg_ptr[a_col + 1] - starts                  # int32[nnzA]
-    return expand_products_sl(a_ptr, a_col, starts, lens, total, nnz_a)
+    # pad-safety: A nonzeros beyond ptr[-1] are capacity padding — they
+    # reference B row 0 but must contribute no products.
+    return expand_products_sl(a_ptr, a_col, starts, lens, total, nnz_a,
+                              a_nnz_valid=a_ptr[-1])
 
 
 def expand_products_sl(a_ptr: jax.Array, a_col: jax.Array,

@@ -11,9 +11,10 @@ on ``T' = Sigma_e tiles(B[A.col[e]])`` items instead of the full
 intermediate-product count: the same ~32x shrink the mask matrix buys the
 reference's hash tables.
 
-Everything is a fixed-shape vector op; the only host interaction is the
-nnz(C)/tile-count readback between the two jits (the reference does the
-same D2H readbacks, ``src/main.cu:56``, ``inc/MH_spgemm.cuh:271``).
+The only jit statics are the stream capacity ``total`` (the quantized
+T' readback — the reference pays the same host sync for its flop scan,
+``inc/MH_spgemm.cuh:271``) and the scan pass bound ``max_group``; every
+other size comes from array extents, and all inputs may be capacity-padded.
 """
 
 from __future__ import annotations
@@ -27,8 +28,7 @@ import jax.numpy as jnp
 from ..config import TILE_BITS
 from .expand import expand_products
 from .mask import MaskMatrix
-from .scan import (compact, cum_at, exclusive_cumsum, rows_reduce_int,
-                   seg_scan)
+from .scan import compact, exclusive_cumsum, rows_reduce_int, seg_scan
 
 
 class SymbolicResult(NamedTuple):
@@ -41,25 +41,24 @@ class SymbolicResult(NamedTuple):
     sort_tcol: jax.Array      # int32[T']  sorted stream: tile column
     or_mask: jax.Array        # uint32[T'] segmented-OR scan (totals at ends)
     is_end: jax.Array         # bool[T']   True at run ends (valid runs)
+    totals: jax.Array         # int64[2]   [nnz_C, tile count Tc]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("m", "nnz_a", "total", "max_group"))
+@functools.partial(jax.jit, static_argnames=("total", "max_group"))
 def symbolic(a_ptr: jax.Array, a_col: jax.Array, mask: MaskMatrix,
-             m: int, nnz_a: int, total: int, max_group: int
-             ) -> SymbolicResult:
+             total: int, max_group: int) -> SymbolicResult:
     """Exact symbolic pass over the tile-granularity product stream.
 
-    ``total`` = T' (flop upper bound, host-read), ``max_group`` = static
-    bound on products per (row, tilecol) group (<= max nnz of an A row) —
-    it caps the segmented-scan pass count, the TPU analogue of the
+    ``total`` = quantized T' (flop upper bound, host-read), ``max_group`` =
+    static bound on products per (row, tilecol) group (<= max nnz of an A
+    row) — it caps the segmented-scan pass count, the TPU analogue of the
     reference's adaptive group sizing (``inc/Calculate_C_nnz.cuh:47-87``).
     """
-    ps = expand_products(a_ptr, a_col, mask.tileptr, total, nnz_a)
+    m_pad = a_ptr.shape[0] - 1
+    ps = expand_products(a_ptr, a_col, mask.tileptr, total, a_col.shape[0])
     tcol = mask.tilecol[ps.src]
     tmask = mask.tilemask[ps.src]
-    crow = jnp.where(ps.valid, ps.crow, jnp.int32(m))  # padding sorts last
+    crow = jnp.where(ps.valid, ps.crow, jnp.int32(m_pad))  # padding last
 
     # orig position carried through the sort so numeric can map unsorted
     # stream elements to their C tile.
@@ -70,7 +69,7 @@ def symbolic(a_ptr: jax.Array, a_col: jax.Array, mask: MaskMatrix,
     new = _run_starts2(s_row, s_tcol)
     or_scan = seg_scan(jnp.bitwise_or, new, s_mask, max_group)
     is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
-    valid_run = s_row < m
+    valid_run = s_row < m_pad
     popc = jax.lax.population_count(or_scan).astype(jnp.int32)
     contrib = jnp.where(is_end & valid_run, popc, 0)
     tile_contrib = jnp.where(is_end & valid_run, 1, 0)
@@ -88,10 +87,13 @@ def symbolic(a_ptr: jax.Array, a_col: jax.Array, mask: MaskMatrix,
     crow_nnz = rows_reduce_int(contrib, f_ex)
     ctiles_row = rows_reduce_int(tile_contrib, f_ex)
 
+    totals = jnp.stack([jnp.sum(crow_nnz.astype(jnp.int64)),
+                        jnp.sum(ctiles_row.astype(jnp.int64))])
     return SymbolicResult(crow_nnz=crow_nnz, ctiles_row=ctiles_row,
                           run_id_unsorted=run_id_unsorted,
                           sort_row=s_row, sort_tcol=s_tcol,
-                          or_mask=or_scan, is_end=is_end & valid_run)
+                          or_mask=or_scan, is_end=is_end & valid_run,
+                          totals=totals)
 
 
 class CStructure(NamedTuple):
@@ -104,9 +106,8 @@ class CStructure(NamedTuple):
     ctile_base: jax.Array  # int32[Tc+1] value offset of each C tile
 
 
-@functools.partial(jax.jit, static_argnames=("m", "tc", "nnz_c"))
-def c_structure(sym: SymbolicResult, m: int, tc: int, nnz_c: int
-                ) -> CStructure:
+@functools.partial(jax.jit, static_argnames=("tc", "nnz_c"))
+def c_structure(sym: SymbolicResult, tc: int, nnz_c: int) -> CStructure:
     """Compact the symbolic run ends into C's tile list and expand the tile
     masks into the final, per-row-sorted column index array.
 
@@ -114,6 +115,7 @@ def c_structure(sym: SymbolicResult, m: int, tc: int, nnz_c: int
     (``inc/numeric.cuh:264-297,424-471``): tiles come out of the symbolic
     sort ordered by (row, tilecol) and bits are enumerated ascending, so
     C's columns are born sorted — no count-sort / bitonic sort needed.
+    ``tc`` / ``nnz_c`` are quantized capacities (>= true counts).
     """
     flags = sym.is_end
     ctile_col = compact(sym.sort_tcol, flags, tc)

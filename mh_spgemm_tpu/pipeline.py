@@ -4,39 +4,44 @@
 
 Phases (same seven-phase accounting as the reference's ``Timing``):
 
-1. mem_alloc            — plan lookup / H2D of operands.
-2. Form_mask_matrix_B   — tile counts, mask compaction, flop upper bound
-                          (excluded from the SpGEMM total, like the
-                          reference — src/Timing.cpp:39-42).
-3. symbolic_binning     — bucketed row dispatch by flop estimate.
+1. mem_alloc            — plan lookup / value-dtype cast of operands.
+2. Form_mask_matrix_B   — ONE fused program: tile counts, mask compaction,
+                          flop upper bound, exact flops (excluded from the
+                          SpGEMM total, like the reference —
+                          src/Timing.cpp:39-42).
+3. symbolic_binning     — host: quantize the T' readback to the capacity
+                          grid (the TPU analogue of picking a bin: it
+                          selects which compiled program runs).
 4. Calculate_C_nnz      — tile-granularity sort + segmented OR + popcount.
-5. Malloc_C_col_val     — row-pointer scan + nnz(C)/tile-count readback
+5. Malloc_C_col_val     — nnz(C)/tile-count readback + capacity selection
                           (the host-device sync the reference also pays,
                           src/main.cu:56).
-6. numeric_binning      — bucketed row dispatch by exact nnz.
-7. Numeric              — mask-guided scatter accumulation (or fused ESC).
+6. numeric_binning      — host: numeric capacity selection.
+7. Numeric              — fused C-structure expansion + mask-guided
+                          scatter accumulation (or fused ESC).
 
-The host readbacks between jits feed *static shapes* of the downstream
-kernels; re-running the same matrix hits the jit cache, which is the TPU
-analogue of the reference reusing its preallocated ``Tool`` workspace.
+Every host-read size is quantized (ops/shapes.py) before becoming a jit
+static, so different matrices share compiled programs — the TPU analogue of
+the reference's fixed bin/hash-table capacities.  Re-running any matrix
+whose quantized sizes were seen before hits the jit cache, like the
+reference reusing its preallocated ``Tool`` workspace.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG, SpGEMMConfig
 from .csr import CSR, DeviceCSR
 from .errors import ShapeMismatchError, SpGEMMError, require
-from .ops import binning as binning_ops
 from .ops import mask as mask_ops
 from .ops import numeric as numeric_ops
 from .ops import symbolic as symbolic_ops
+from .ops.shapes import quantize, quantize_pow2
 from .timing import PhaseTimer, Timing
 
 _INT32_MAX = 2**31 - 1
@@ -67,9 +72,10 @@ def spgemm(A: DeviceCSR, B: DeviceCSR,
            config: SpGEMMConfig = DEFAULT_CONFIG,
            timing: Optional[Timing] = None,
            plan: Optional[SpGEMMPlan] = None) -> DeviceCSR:
-    """Compute C = A @ B on device.  Returns a DeviceCSR with exact-size
-    arrays (ptr int32[M+1], col int32[nnzC], val float[nnzC], columns
-    sorted ascending within each row)."""
+    """Compute C = A @ B on device.  Returns a DeviceCSR whose arrays may be
+    capacity-padded; ``M``/``nnz_true`` carry the logical sizes and
+    ``host()`` trims (ptr int32[M+1], col int32[nnzC], val float[nnzC],
+    columns sorted ascending within each row)."""
     require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
     timing = timing if timing is not None else Timing()
     if config.mode == "masked":
@@ -80,10 +86,10 @@ def spgemm(A: DeviceCSR, B: DeviceCSR,
 
 
 def make_plan(A: DeviceCSR, B: DeviceCSR) -> SpGEMMPlan:
-    a_row_nnz = np.asarray(A.ptr[1:] - A.ptr[:-1])
+    a_row_nnz = np.diff(np.asarray(A.ptr))
     max_group = int(a_row_nnz.max()) if a_row_nnz.size else 1
     return SpGEMMPlan(m=A.M, n=B.N, nnz_a=A.nnz, nnz_b=B.nnz,
-                      max_group=max(1, max_group))
+                      max_group=quantize_pow2(max_group))
 
 
 def _fence(*arrays) -> None:
@@ -96,7 +102,8 @@ def _empty_c(A: DeviceCSR, B: DeviceCSR, config) -> DeviceCSR:
     return DeviceCSR(M=A.M, N=B.N,
                      ptr=jnp.zeros((A.M + 1,), jnp.int32),
                      col=jnp.zeros((0,), jnp.int32),
-                     val=jnp.zeros((0,), config.vdtype))
+                     val=jnp.zeros((0,), config.vdtype),
+                     nnz_true=0)
 
 
 def _spgemm_masked(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
@@ -112,62 +119,55 @@ def _spgemm_masked(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
         return _empty_c(A, B, config)
 
     # -- Form_mask_matrix_B (reported separately; excluded from total) ----
+    # One fused program; its totals readback doubles as the phase fence.
     with PhaseTimer.phase(timing, "form_mask_matrix_b"):
-        tiles_per_row, total_t = mask_ops.count_tiles(
-            B.ptr, B.col, B.M, B.nnz)
-        plan.total_tiles = int(total_t)          # readback (MH_spgemm.cuh:271)
-        mask = mask_ops.form_mask_matrix(B.ptr, B.col, B.M, B.nnz,
-                                         plan.total_tiles)
-        fub_row = mask_ops.flops_upper_bound(A.ptr, A.col, tiles_per_row,
-                                             A.nnz)
-        t_prime = int(jnp.sum(fub_row))
-        plan.t_prime = t_prime
-        require(t_prime < _INT32_MAX, SpGEMMError,
+        st = mask_ops.mask_stage(B.ptr, B.col, A.ptr, A.col)
+        totals = np.asarray(st.totals)
+        plan.total_tiles = int(totals[0])
+        plan.t_prime = int(totals[1])
+        plan.intprod = int(totals[2])
+        require(plan.t_prime < _INT32_MAX, SpGEMMError,
                 "symbolic stream exceeds int32; use the chunked pipeline")
-        _fence(mask.tilemask, fub_row)
+        require(plan.intprod < _INT32_MAX, SpGEMMError,
+                "product stream exceeds int32; use the chunked pipeline")
 
-    if t_prime == 0:
-        timing.calculate_c_nnz += 0.0
+    if plan.t_prime == 0:
         return _empty_c(A, B, config)
 
-    # -- symbolic binning (flop estimate, TYPE 2) --------------------------
+    # -- symbolic binning: capacity selection (program dispatch) -----------
     with PhaseTimer.phase(timing, "symbolic_binning"):
-        sym_bins = binning_ops.bin_rows(fub_row, config.bin_bounds)
-        _fence(sym_bins.rows_by_bin)
+        t_prime_cap = quantize(plan.t_prime)
 
     # -- Calculate_C_nnz ---------------------------------------------------
     with PhaseTimer.phase(timing, "calculate_c_nnz"):
-        sym = symbolic_ops.symbolic(A.ptr, A.col, mask, A.M, A.nnz,
-                                    t_prime, plan.max_group)
+        sym = symbolic_ops.symbolic(A.ptr, A.col, st.mask,
+                                    t_prime_cap, plan.max_group)
         _fence(sym.crow_nnz)
 
-    # -- Malloc_C_col_val: scans + scalar readbacks ------------------------
+    # -- Malloc_C_col_val: scalar readbacks + capacity selection -----------
     with PhaseTimer.phase(timing, "malloc_c_col_val"):
-        plan.nnz_c = int(jnp.sum(sym.crow_nnz))
-        plan.tc = int(jnp.sum(sym.ctiles_row))
+        sym_totals = np.asarray(sym.totals)
+        plan.nnz_c = int(sym_totals[0])
+        plan.tc = int(sym_totals[1])
 
     if plan.nnz_c == 0:
         return _empty_c(A, B, config)
 
-    # -- numeric binning (exact nnz, TYPE 4) -------------------------------
+    # -- numeric binning: capacity selection --------------------------------
     with PhaseTimer.phase(timing, "numeric_binning"):
-        num_bins = binning_ops.bin_rows(sym.crow_nnz, config.bin_bounds)
-        _fence(num_bins.rows_by_bin)
+        nnz_c_cap = quantize(plan.nnz_c)
+        tc_cap = quantize(plan.tc)
+        intprod_cap = quantize(plan.intprod)
 
     # -- Numeric ------------------------------------------------------------
     with PhaseTimer.phase(timing, "numeric"):
-        cs = symbolic_ops.c_structure(sym, A.M, plan.tc, plan.nnz_c)
-        if plan.intprod is None:
-            blens = B.ptr[A.col + 1] - B.ptr[A.col]
-            plan.intprod = int(jnp.sum(blens.astype(jnp.int64)))
-        require(plan.intprod < _INT32_MAX, SpGEMMError,
-                "product stream exceeds int32; use the chunked pipeline")
-        cval = numeric_ops.numeric_masked(
-            A.ptr, A.col, a_val, B.ptr, B.col, b_val, mask, sym, cs,
-            A.nnz, plan.intprod, plan.nnz_c)
+        cs, cval = numeric_ops.finish_masked(
+            A.ptr, A.col, a_val, B.ptr, B.col, b_val, st.mask, sym,
+            intprod_cap, tc_cap, nnz_c_cap)
         _fence(cval)
 
-    return DeviceCSR(M=A.M, N=B.N, ptr=cs.cptr, col=cs.ccol, val=cval)
+    return DeviceCSR(M=A.M, N=B.N, ptr=cs.cptr, col=cs.ccol, val=cval,
+                     nnz_true=plan.nnz_c)
 
 
 def _spgemm_esc(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
@@ -186,8 +186,9 @@ def _spgemm_esc(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
 
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if plan.intprod is None:
-            blens = B.ptr[A.col + 1] - B.ptr[A.col]
-            plan.intprod = int(jnp.sum(blens.astype(jnp.int64)))
+            blens = np.diff(np.asarray(B.ptr)).astype(np.int64)
+            a_col = np.asarray(A.col)[: A.nnz]
+            plan.intprod = int(blens[a_col].sum())
         require(plan.intprod < _INT32_MAX, SpGEMMError,
                 "product stream exceeds int32; use the chunked pipeline")
 
@@ -195,22 +196,18 @@ def _spgemm_esc(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
         return _empty_c(A, B, config)
 
     with PhaseTimer.phase(timing, "numeric"):
-        cap = plan.nnz_c if plan.nnz_c is not None else plan.intprod
+        total_cap = quantize(plan.intprod)
+        cap = quantize(plan.nnz_c) if plan.nnz_c is not None else total_cap
         res = numeric_ops.numeric_esc(
             A.ptr, A.col, a_val, B.ptr, B.col, b_val,
-            A.M, A.nnz, plan.intprod, cap, plan.max_group)
-        _fence(res.nnz_total)
+            total_cap, cap, plan.max_group)
+        _fence(res.col_cap)
 
     with PhaseTimer.phase(timing, "malloc_c_col_val"):
-        nnz_c = int(res.nnz_total)
-        plan.nnz_c = nnz_c
-        cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                jnp.cumsum(res.crow_nnz)]).astype(jnp.int32)
-        col = res.col_cap[:nnz_c]
-        val = res.val_cap[:nnz_c]
-        _fence(col)
+        plan.nnz_c = int(res.nnz_total)
 
-    return DeviceCSR(M=A.M, N=B.N, ptr=cptr, col=col, val=val)
+    return DeviceCSR(M=A.M, N=B.N, ptr=res.cptr, col=res.col_cap,
+                     val=res.val_cap, nnz_true=plan.nnz_c)
 
 
 def spgemm_host(A: CSR, B: Optional[CSR] = None,
@@ -222,7 +219,7 @@ def spgemm_host(A: CSR, B: Optional[CSR] = None,
     reference src/main.cu:98-101)."""
     if B is None:
         B = A.transpose() if (config.aat and not A.is_symmetric) else A
-    dA = A.device(config.vdtype)
-    dB = B.device(config.vdtype)
+    dA = A.device(config.vdtype, pad=True)
+    dB = B.device(config.vdtype, pad=True) if B is not A else dA
     C = spgemm(dA, dB, config=config, timing=timing)
     return C.host()
