@@ -33,7 +33,7 @@ def main() -> int:
     names = os.environ.get("BENCH_MATRICES")
     names = (names.split(",") if names else suites.SIXTEEN_MATRICES)
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    mode = os.environ.get("BENCH_MODE", "masked")
+    mode = os.environ.get("BENCH_MODE", "bucketed")
     dtype = os.environ.get("BENCH_DTYPE", "float64")
 
     config = SpGEMMConfig(mode=mode, value_dtype=dtype)

@@ -76,20 +76,32 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
         print(f"Matrix {name} ({A.M} , {B.N}) nnz:{A.nnz}")
         print(f"SpGEMM intermediate result = {intprod}")
 
-    dA = A.device(config.vdtype, pad=True)
-    dB = B.device(config.vdtype, pad=True) if B is not A else dA
-    plan = make_plan(dA, dB)
-    plan.intprod = intprod
-
     C = None
     bench_timing = Timing()
     try:
-        for _ in range(warmup):
-            C = spgemm(dA, dB, config=config, timing=Timing(), plan=plan)
-        for _ in range(iters):
-            t = Timing()
-            C = spgemm(dA, dB, config=config, timing=t, plan=plan)
-            bench_timing += t
+        if config.mode == "bucketed":
+            from ..pipeline import spgemm_bucketed
+            state = None
+            for _ in range(warmup):
+                C, state = spgemm_bucketed(A, B, config=config,
+                                           timing=Timing(), state=state)
+            for _ in range(iters):
+                t = Timing()
+                C, state = spgemm_bucketed(A, B, config=config, timing=t,
+                                           state=state)
+                bench_timing += t
+        else:
+            dA = A.device(config.vdtype, pad=True)
+            dB = B.device(config.vdtype, pad=True) if B is not A else dA
+            plan = make_plan(dA, dB)
+            plan.intprod = intprod
+            for _ in range(warmup):
+                C = spgemm(dA, dB, config=config, timing=Timing(),
+                           plan=plan)
+            for _ in range(iters):
+                t = Timing()
+                C = spgemm(dA, dB, config=config, timing=t, plan=plan)
+                bench_timing += t
         bench_timing /= max(1, iters)
     except Exception as e:  # reference prints "failed", scores 0 GFLOPS
         print(f"MH-SpGEMM-TPU failed!!! ({type(e).__name__}: {e})")
@@ -137,7 +149,8 @@ def main(argv=None) -> int:
                    help=".mtx path or suite matrix name")
     p.add_argument("--suite", action="store_true",
                    help="run the 16-matrix suite")
-    p.add_argument("--mode", default="masked", choices=["masked", "esc"])
+    p.add_argument("--mode", default="bucketed",
+                   choices=["bucketed", "masked", "esc"])
     p.add_argument("--dtype", default="float64",
                    choices=["float64", "float32"])
     p.add_argument("--aat", action="store_true", help="C = A @ A^T")

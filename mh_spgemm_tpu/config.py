@@ -49,7 +49,7 @@ class SpGEMMConfig:
     """
 
     value_dtype: str = "float64"
-    mode: str = "masked"
+    mode: str = "bucketed"
     aat: bool = False
     adaptive: bool = True
     check_result: bool = False
@@ -60,6 +60,11 @@ class SpGEMMConfig:
     # hash-table sizes because VMEM tiles are power-of-two shaped).
     bin_bounds: Tuple[int, ...] = (0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
                                    1024, 2048, 4096)
+    # Bucketed engine (ops/bucketed.py): smallest row class width and the
+    # per-chunk slot budget (rows_per_chunk * width <= area cap) — the
+    # shared-memory-size analogue of the reference's hash capacity tables.
+    min_bucket_width: int = 128
+    bucket_area_cap: int = 1 << 23
 
     @property
     def vdtype(self):

@@ -76,8 +76,10 @@ def load_matrix(name: str, allow_synthetic: bool = True) -> CSR:
     if not allow_synthetic:
         raise FileNotFoundError(
             f"matrix {name!r} not found under SUITESPARSE_ROOT")
+    import zlib
+
     from ..bench import gen
     family, kwargs = SYNTHETIC_16.get(name, ("random", dict(n=100_000,
                                                             nnz_per_row=8)))
-    seed = abs(hash(name)) % (2**31)
+    seed = zlib.crc32(name.encode()) % (2**31)  # stable across processes
     return gen.FAMILIES[family](seed=seed, **kwargs)

@@ -1,0 +1,392 @@
+"""Bucketed expand-sort-compress SpGEMM — the TPU performance engine.
+
+This is the TPU-native re-architecture of the reference's central design
+idea: *bin rows by work estimate, run a specialised fixed-capacity kernel
+per bin* (``inc/binning.cuh:1-155``, the 13-bin kernel zoo of
+``inc/Calculate_C_nnz.cuh`` / ``inc/numeric.cuh``).  Measured XLA:TPU
+primitive costs dictate the mapping:
+
+* per-element random access (gather/scatter/``jnp.repeat``) costs ~10-25 ns
+  per element — the analogue of an uncoalesced global-memory access;
+* batched per-row sorts run ~10x faster than flat sorts of the same element
+  count (rows sort inside VMEM);
+* dense vector passes (cumsum/cummax/where) are bandwidth-bound and nearly
+  free.
+
+So instead of shared-memory hash tables per bin, each row class gets a
+fixed *width* W (the hash-table-capacity analogue): rows whose
+intermediate-product count fits in W are packed into ``[rows_per_chunk, W]``
+matrices, the product stream is materialised with exactly TWO per-element
+gathers (B column + B value — the irreducible data movement), everything
+else (segment expansion, A-value broadcast, duplicate-column accumulation,
+compaction) is scans and batched sorts.  The reference's per-bin CUDA
+streams become one jitted program whose per-class ``lax.scan`` chunks XLA
+pipelines back-to-back; its ``atomicAdd`` hash accumulation becomes a
+segmented scan over sorted runs.
+
+Pipeline (per class, per chunk):
+
+1. scatter packed ``(dst<<31|src)`` / ``(dst<<31|len)`` descriptors at the
+   per-A-entry destination slots, ``cummax`` over the flat chunk -> every
+   slot knows its source B position without a searchsorted or repeat
+   (the two ``cummax`` passes replace ``jnp.repeat``'s per-element gather);
+2. gather B columns / values once each; broadcast A values down their
+   segments with a log-pass hold-scan (no gather);
+3. one batched in-row sort by column; segmented sum over equal-column runs
+   (the hash-accumulate analogue, ``inc/numeric.cuh:215-258``);
+4. a second batched in-row sort left-packs the surviving (column, value)
+   pairs — the table-compaction analogue (``inc/numeric.cuh:264-297``);
+   columns come out ascending per row, so no count/bitonic sort is needed.
+
+A final extraction program turns the left-packed class slabs into one CSR
+(gathers + one scatter at nnz(C) granularity).
+
+All shapes are static and quantized; in steady state (sizes cached in the
+plan) a full SpGEMM is TWO async dispatches and ONE host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .shapes import quantize, quantize_pow2
+
+_I32_MAX = np.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side planning (the binning pass — reference k_binning1/k_binning2,
+# inc/binning.cuh:67-155, done once per (A, B) and cached in the plan)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ClassPlan:
+    """One row class: all rows whose product count fits in width W."""
+
+    W: int                 # row capacity (the hash-table-size analogue)
+    rb: int                # rows per chunk (W * rb <= area cap)
+    nchunks: int
+    eb: int                # A-entry capacity per chunk (quantized)
+    rows_g: np.ndarray     # int32[nchunks, rb]   global row ids, -1 pad
+    ent_dst: np.ndarray    # int32[nchunks, eb]   slot*W + in-row offset
+    ent_src: np.ndarray    # int32[nchunks, eb]   b_ptr[a_col[e]]
+    ent_len: np.ndarray    # int32[nchunks, eb]   nnz of referenced B row
+    ent_aidx: np.ndarray   # int32[nchunks, eb]   index into a_val
+    hold_passes: int       # log2 bound on B-segment length within a row
+    seg_passes: int        # log2 bound on same-column run length
+
+    @property
+    def spec(self) -> Tuple[int, int, int, int, int, int]:
+        return (self.W, self.rb, self.nchunks, self.eb,
+                self.hold_passes, self.seg_passes)
+
+
+@dataclasses.dataclass
+class BucketPlan:
+    """Host plan: row classes + device descriptor arrays + cached sizes."""
+
+    m: int
+    classes: List[ClassPlan]
+    intprod: int
+    slab_row_start: Optional[np.ndarray] = None  # int32[m] flat slab offset
+    dev: Optional[list] = None          # uploaded descriptor arrays
+    dev_slab_start: Optional[object] = None
+    class_caps: Optional[Tuple[int, ...]] = None  # quantized nnz per class
+    nnz_c: Optional[int] = None
+    nnz_cap: Optional[int] = None
+
+
+def _log2_bound(x: int) -> int:
+    return max(1, int(x - 1).bit_length()) if x > 1 else 0
+
+
+def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
+                 min_width: int = 128, area_cap: int = 1 << 23
+                 ) -> BucketPlan:
+    """Bin rows by product count into power-of-two width classes and build
+    per-chunk A-entry descriptors (vectorized numpy; cached per (A, B))."""
+    m = a_ptr.shape[0] - 1
+    blens = np.diff(b_ptr).astype(np.int64)
+    p_ent = blens[a_col]                                    # per A-entry
+    cs = np.concatenate([[0], np.cumsum(p_ent)])
+    p_row = cs[a_ptr[1:]] - cs[a_ptr[:-1]]                  # per C row
+    intprod = int(cs[-1])
+
+    active = np.flatnonzero(p_row > 0).astype(np.int32)
+    classes: List[ClassPlan] = []
+    if active.size == 0:
+        return BucketPlan(m=m, classes=classes, intprod=intprod)
+
+    wclass = np.maximum(min_width,
+                        2 ** np.ceil(np.log2(p_row[active])).astype(np.int64))
+    max_blen = int(blens.max()) if blens.size else 1
+    a_row_nnz = np.diff(a_ptr)
+
+    for W in sorted(set(int(w) for w in np.unique(wclass))):
+        rows_c = active[wclass == int(W)]                   # original order
+        # rows per chunk: bounded by the area budget AND the class's actual
+        # row count (quantized so similar matrices share compiled shapes)
+        rb = max(1, min(area_cap // W, quantize(rows_c.size)))
+        nchunks = -(-rows_c.size // rb)
+        rows_pad = np.full(nchunks * rb, -1, dtype=np.int32)
+        rows_pad[: rows_c.size] = rows_c
+
+        # per-entry descriptors (drop empty B-row references: they advance
+        # nothing and would collide at the next entry's dst slot)
+        cnt = a_row_nnz[rows_c].astype(np.int64)
+        local_row = np.repeat(np.arange(rows_c.size, dtype=np.int64), cnt)
+        starts = a_ptr[rows_c].astype(np.int64)
+        bases = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        ent_e = (np.repeat(starts - bases, cnt)
+                 + np.arange(int(cnt.sum()), dtype=np.int64))
+        pe = p_ent[ent_e]
+        keep = pe > 0
+        ent_e, local_row, pe = ent_e[keep], local_row[keep], pe[keep]
+        # exclusive cumsum of pe within each row
+        pc = np.cumsum(pe)
+        row_first = np.concatenate([[True], local_row[1:] != local_row[:-1]])
+        row_base = np.maximum.accumulate(
+            np.where(row_first, pc - pe, 0))
+        off = pc - pe - row_base
+
+        chunk = local_row // rb
+        slot = local_row - chunk * rb
+        dst = (slot * W + off).astype(np.int64)
+
+        ecnt = np.bincount(chunk, minlength=nchunks).astype(np.int64)
+        eb = quantize(int(ecnt.max())) if ecnt.size else 1
+        shape = (nchunks, eb)
+        ent_dst = np.full(shape, rb * W, dtype=np.int32)    # pad -> dropped
+        ent_src = np.zeros(shape, dtype=np.int32)
+        ent_len = np.zeros(shape, dtype=np.int32)
+        ent_aidx = np.zeros(shape, dtype=np.int32)
+        within = np.arange(ent_e.size, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(ecnt)[:-1]]), ecnt)
+        ent_dst[chunk, within] = dst.astype(np.int32)
+        ent_src[chunk, within] = b_ptr[a_col[ent_e]].astype(np.int32)
+        ent_len[chunk, within] = pe.astype(np.int32)
+        ent_aidx[chunk, within] = ent_e.astype(np.int32)
+
+        classes.append(ClassPlan(
+            W=int(W), rb=rb, nchunks=nchunks, eb=eb,
+            rows_g=rows_pad.reshape(nchunks, rb),
+            ent_dst=ent_dst, ent_src=ent_src, ent_len=ent_len,
+            ent_aidx=ent_aidx,
+            hold_passes=_log2_bound(min(W, max_blen)),
+            seg_passes=_log2_bound(min(W, int(a_row_nnz.max(initial=1)))),
+        ))
+
+    # flat offset of each row's slab in the concatenated class slabs
+    # (extraction reads output j of row r at slab_row_start[r] + rank)
+    slab_row_start = np.zeros(m, dtype=np.int32)
+    base = 0
+    for c in classes:
+        rows = c.rows_g.reshape(-1)
+        local = np.arange(rows.size, dtype=np.int64)
+        live = rows >= 0
+        slab_row_start[rows[live]] = (base + local[live] * c.W).astype(
+            np.int32)
+        base += rows.size * c.W
+    return BucketPlan(m=m, classes=classes, intprod=intprod,
+                      slab_row_start=slab_row_start)
+
+
+def upload_plan(plan: BucketPlan) -> None:
+    """H2D of the descriptor arrays (once per plan; the workspace-alloc
+    analogue of Tool::allocate, src/Tool.cu:4-73)."""
+    if plan.dev is not None:
+        return
+    plan.dev = [
+        tuple(jnp.asarray(x) for x in
+              (c.rows_g, c.ent_dst, c.ent_src, c.ent_len, c.ent_aidx))
+        for c in plan.classes
+    ]
+    if plan.slab_row_start is not None:
+        plan.dev_slab_start = jnp.asarray(plan.slab_row_start)
+
+
+# ---------------------------------------------------------------------------
+# Device: 2-D scan helpers (segments never cross row boundaries)
+# ---------------------------------------------------------------------------
+
+def _hold_scan_rows(values: Sequence[jax.Array], starts: jax.Array,
+                    passes: int) -> Tuple[jax.Array, ...]:
+    """Broadcast the values at each segment start down their segment, per
+    row (segments marked by ``starts``) — the no-gather replacement for
+    both ``jnp.repeat`` and per-element descriptor lookups.  Slots beyond
+    ``2**passes`` of a start keep their seed (callers make unseeded slots
+    self-invalidating: len 0)."""
+    vs = list(values)
+    s = starts
+    dist = 1
+    for _ in range(passes):
+        ss = jnp.concatenate(
+            [jnp.zeros((s.shape[0], dist), bool), s[:, :-dist]], axis=1)
+        take = (~s) & ss
+        for i, v in enumerate(vs):
+            sv = jnp.concatenate([v[:, :dist], v[:, :-dist]], axis=1)
+            vs[i] = jnp.where(take, sv, v)
+        s = s | ss
+        dist *= 2
+    return tuple(vs)
+
+
+def _seg_sum_rows(values: jax.Array, new: jax.Array,
+                  passes: int) -> jax.Array:
+    """Segmented inclusive sum along rows (``new`` marks segment starts) —
+    the hash-accumulate analogue of the reference's atomicAdd loops."""
+    v, f = values, new
+    dist = 1
+    for _ in range(passes):
+        sv = jnp.concatenate([jnp.zeros_like(v[:, :dist]), v[:, :-dist]],
+                             axis=1)
+        sf = jnp.concatenate(
+            [jnp.ones((v.shape[0], dist), bool), f[:, :-dist]], axis=1)
+        v = jnp.where(f, v, v + sv)
+        f = f | sf
+        dist *= 2
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Device: per-chunk ESC kernel + whole-matrix program
+# ---------------------------------------------------------------------------
+
+def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
+               a_val, b_col, b_val, *, W: int, rb: int,
+               hold_passes: int, seg_passes: int):
+    """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
+    RW = rb * W
+    # seed per-entry descriptors at their destination slots (entry-count
+    # sized scatters), then ONE shared hold-scan broadcasts them down their
+    # segments: every slot learns (src base, len, segment start, a-value)
+    # in log2(max segment) vector passes — no int64, no cummax, no repeat.
+    def seed(vals, dtype, fill=0):
+        return jnp.full((RW,), fill, dtype).at[ent_dst].set(
+            vals, mode="drop").reshape(rb, W)
+
+    s_src = seed(ent_src, jnp.int32)
+    s_len = seed(ent_len, jnp.int32)
+    s_pos = seed(ent_dst, jnp.int32)
+    s_av = seed(a_val[ent_aidx], a_val.dtype)
+    starts = jnp.zeros((RW,), bool).at[ent_dst].set(
+        True, mode="drop").reshape(rb, W)
+
+    src0, len0, dst_s, AV = _hold_scan_rows(
+        (s_src, s_len, s_pos, s_av), starts, hold_passes)
+
+    pos = jnp.arange(RW, dtype=jnp.int32).reshape(rb, W)
+    off = pos - dst_s
+    valid = (off >= 0) & (off < len0)
+    src = jnp.where(valid, src0 + off, 0).reshape(-1)
+
+    key = jnp.where(valid, b_col[src].reshape(rb, W), _I32_MAX)  # gather #1
+    bv = b_val[src].reshape(rb, W)                               # gather #2
+    K = key
+    prod = jnp.where(valid, AV * bv, jnp.zeros((), b_val.dtype))
+
+    sK, sV = jax.lax.sort((K, prod), num_keys=1, dimension=1)
+    new = jnp.concatenate(
+        [jnp.ones((rb, 1), bool), sK[:, 1:] != sK[:, :-1]], axis=1)
+    run = _seg_sum_rows(sV, new, seg_passes)
+    ends = (jnp.concatenate([new[:, 1:], jnp.ones((rb, 1), bool)], axis=1)
+            & (sK < _I32_MAX))
+    nnz_row = jnp.sum(ends, axis=1, dtype=jnp.int32)
+    rank = jnp.cumsum(ends, axis=1, dtype=jnp.int32) - 1
+    key2 = jnp.where(ends, rank, _I32_MAX)
+    _, oC, oV = jax.lax.sort((key2, sK, run), num_keys=1, dimension=1)
+    return oC, oV, nnz_row
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "m"))
+def bucketed_main(class_arrays, a_val, b_col, b_val, *,
+                  specs: Tuple[Tuple[int, ...], ...], m: int):
+    """Whole-matrix main program: every class, every chunk, one dispatch.
+
+    Returns (crow_nnz int32[m], cptr int32[m+1], class_totals int64[K],
+    slabs) where slabs[k] = (cols [n,rb,W], vals [n,rb,W], nnz [n,rb])
+    left-packed per row.
+    """
+    crow = jnp.zeros((m + 1,), jnp.int32)
+    slabs = []
+    totals = []
+    for (W, rb, nchunks, eb, hp, sp), arrs in zip(specs, class_arrays):
+        rows_g, ent_dst, ent_src, ent_len, ent_aidx = arrs
+        body = functools.partial(_chunk_esc, a_val=a_val, b_col=b_col,
+                                 b_val=b_val, W=W, rb=rb,
+                                 hold_passes=hp, seg_passes=sp)
+        if nchunks == 1:
+            oC, oV, nnz_row = body(rows_g[0], ent_dst[0], ent_src[0],
+                                   ent_len[0], ent_aidx[0])
+            oC, oV, nnz_row = oC[None], oV[None], nnz_row[None]
+        else:
+            def step(carry, xs):
+                return carry, body(*xs)
+            _, (oC, oV, nnz_row) = jax.lax.scan(
+                step, None, (rows_g, ent_dst, ent_src, ent_len, ent_aidx))
+        idx = jnp.where(rows_g >= 0, rows_g, m)
+        crow = crow.at[idx.reshape(-1)].set(nnz_row.reshape(-1),
+                                            mode="drop")
+        slabs.append((oC, oV, nnz_row))
+        totals.append(jnp.sum(nnz_row.astype(jnp.int64)))
+    crow = crow[:m]
+    cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(crow)])
+    return crow, cptr, jnp.stack(totals) if totals else jnp.zeros(
+        (0,), jnp.int64), slabs
+
+
+@functools.partial(jax.jit, static_argnames=("m", "nnz_cap"))
+def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int):
+    """Gather the left-packed class slabs into one CSR (col, val) pair —
+    gather-ONLY (output written contiguously; scatters measured ~4x slower
+    than gathers on TPU are avoided entirely).
+
+    ``slab_row_start`` int32[m]: flat offset of each row's slab in the
+    concatenated class slabs; output position ``j`` of row ``r`` reads slab
+    element ``slab_row_start[r] + (j - cptr[r])``.
+    """
+    flat_c = jnp.concatenate([oC.reshape(-1) for oC, _, _ in slabs])
+    flat_v = jnp.concatenate([oV.reshape(-1) for _, oV, _ in slabs])
+    slab_base = slab_row_start - cptr[:m]
+    # expand row ids over the output stream: ones at row starts + cumsum
+    row_of = jnp.cumsum(
+        jnp.zeros((nnz_cap,), jnp.int32).at[cptr[1:m]].add(1, mode="drop"))
+    j = jnp.arange(nnz_cap, dtype=jnp.int32)
+    ok = j < cptr[m]
+    src = jnp.where(ok, slab_base[row_of] + j, 0)
+    ccol = jnp.where(ok, flat_c[src], 0)
+    cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
+    return ccol, cval
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+def run_bucketed(plan: BucketPlan, a_val, b_col, b_val):
+    """Dispatch the main program.  Returns (crow, cptr, totals, slabs)."""
+    upload_plan(plan)
+    specs = tuple(c.spec for c in plan.classes)
+    return bucketed_main(plan.dev, a_val, b_col, b_val,
+                         specs=specs, m=plan.m)
+
+
+def finish_bucketed(plan: BucketPlan, main_out, vdtype):
+    """Dispatch the extraction program (needs plan.class_caps/nnz_cap —
+    filled from the first run's single totals fetch)."""
+    crow, cptr, totals, slabs = main_out
+    if plan.class_caps is None:
+        t = np.asarray(totals)                    # the one first-run sync
+        plan.class_caps = tuple(quantize(int(x)) if x else 1 for x in t)
+        plan.nnz_c = int(t.sum())
+        plan.nnz_cap = quantize(max(1, plan.nnz_c))
+    ccol, cval = bucketed_extract(
+        slabs, plan.dev_slab_start, cptr, m=plan.m, nnz_cap=plan.nnz_cap)
+    return cptr, ccol, cval

@@ -38,11 +38,12 @@ import numpy as np
 from .config import DEFAULT_CONFIG, SpGEMMConfig
 from .csr import CSR, DeviceCSR
 from .errors import ShapeMismatchError, SpGEMMError, require
+from .ops import bucketed as bucketed_ops
 from .ops import mask as mask_ops
 from .ops import numeric as numeric_ops
 from .ops import symbolic as symbolic_ops
 from .ops.shapes import quantize, quantize_pow2
-from .timing import PhaseTimer, Timing
+from .timing import PhaseTimer, Timing, device_fence
 
 _INT32_MAX = 2**31 - 1
 
@@ -93,9 +94,9 @@ def make_plan(A: DeviceCSR, B: DeviceCSR) -> SpGEMMPlan:
 
 
 def _fence(*arrays) -> None:
-    """Phase fence — the ``cudaDeviceSynchronize`` analogue."""
-    for a in arrays:
-        a.block_until_ready()
+    """Phase fence — the ``cudaDeviceSynchronize`` analogue (a tiny D2H
+    fetch; see timing.device_fence for why block_until_ready is not it)."""
+    device_fence(*arrays)
 
 
 def _empty_c(A: DeviceCSR, B: DeviceCSR, config) -> DeviceCSR:
@@ -210,6 +211,79 @@ def _spgemm_esc(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
                      val=res.val_cap, nnz_true=plan.nnz_c)
 
 
+# ---------------------------------------------------------------------------
+# Bucketed engine orchestration (ops/bucketed.py) — the performance path
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BucketedState:
+    """Cached per-(A, B) state: the bucket plan (with uploaded descriptors
+    and learned capacities) plus the operand device arrays — the analogue
+    of the reference's persistent ``Tool`` workspace across iterations."""
+
+    plan: bucketed_ops.BucketPlan
+    a_val: object
+    b_col: object
+    b_val: object
+
+
+def spgemm_bucketed(A: CSR, B: CSR,
+                    config: SpGEMMConfig = DEFAULT_CONFIG,
+                    timing: Optional[Timing] = None,
+                    state: Optional[BucketedState] = None
+                    ) -> tuple[DeviceCSR, BucketedState]:
+    """Bucketed-ESC SpGEMM: C = A @ B.  Returns (device C, reusable state).
+
+    Steady state (warm ``state``) runs TWO async dispatches and ONE device
+    sync per call; the first call per (A, B) additionally pays bucket
+    planning (host) and one small totals fetch.
+    """
+    require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
+    timing = timing if timing is not None else Timing()
+    import jax.numpy as _jnp
+
+    # binning: row classes by product count (reference binning<TYPE>,
+    # inc/MH_spgemm.cuh:26-43; host-side here, cached like Tool workspace)
+    with PhaseTimer.phase(timing, "symbolic_binning"):
+        if state is None:
+            plan = bucketed_ops.plan_buckets(
+                A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
+                area_cap=config.bucket_area_cap)
+            state = BucketedState(plan=plan, a_val=None, b_col=None,
+                                  b_val=None)
+        plan = state.plan
+
+    with PhaseTimer.phase(timing, "mem_alloc"):
+        if state.a_val is None:
+            state.a_val = _jnp.asarray(A.val.astype(config.vdtype))
+            state.b_col = _jnp.asarray(B.col)
+            state.b_val = _jnp.asarray(B.val.astype(config.vdtype))
+            bucketed_ops.upload_plan(plan)
+
+    if A.nnz == 0 or B.nnz == 0 or not plan.classes:
+        C = DeviceCSR(M=A.M, N=B.N,
+                      ptr=_jnp.zeros((A.M + 1,), _jnp.int32),
+                      col=_jnp.zeros((0,), _jnp.int32),
+                      val=_jnp.zeros((0,), config.vdtype), nnz_true=0)
+        return C, state
+
+    with PhaseTimer.phase(timing, "calculate_c_nnz"):
+        main_out = bucketed_ops.run_bucketed(plan, state.a_val,
+                                             state.b_col, state.b_val)
+
+    # first run only: one small totals fetch fixes output capacities
+    with PhaseTimer.phase(timing, "malloc_c_col_val"):
+        cptr, ccol, cval = bucketed_ops.finish_bucketed(
+            plan, main_out, config.vdtype)
+
+    with PhaseTimer.phase(timing, "numeric"):
+        _fence(cval)
+
+    C = DeviceCSR(M=A.M, N=B.N, ptr=cptr, col=ccol, val=cval,
+                  nnz_true=plan.nnz_c)
+    return C, state
+
+
 def spgemm_host(A: CSR, B: Optional[CSR] = None,
                 config: SpGEMMConfig = DEFAULT_CONFIG,
                 timing: Optional[Timing] = None) -> CSR:
@@ -219,6 +293,9 @@ def spgemm_host(A: CSR, B: Optional[CSR] = None,
     reference src/main.cu:98-101)."""
     if B is None:
         B = A.transpose() if (config.aat and not A.is_symmetric) else A
+    if config.mode == "bucketed":
+        C, _ = spgemm_bucketed(A, B, config=config, timing=timing)
+        return C.host()
     dA = A.device(config.vdtype, pad=True)
     dB = B.device(config.vdtype, pad=True) if B is not A else dA
     C = spgemm(dA, dB, config=config, timing=timing)

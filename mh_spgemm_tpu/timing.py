@@ -99,3 +99,16 @@ def gflops(intprod: int, total_ms: float) -> float:
     if total_ms <= 0:
         return 0.0
     return 2.0 * intprod / (total_ms * 1e6)
+
+
+def device_fence(*arrays) -> None:
+    """Hard device fence: fetch one element of each array.
+
+    The ``cudaDeviceSynchronize`` analogue.  ``block_until_ready`` is used
+    when available, but some transports (the axon TPU relay) complete it
+    before execution finishes, so a tiny D2H fetch — which cannot return
+    before the producing program ran — is the authoritative fence.
+    """
+    import numpy as np
+    for a in arrays:
+        np.asarray(a.reshape(-1)[:1])

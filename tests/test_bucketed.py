@@ -1,0 +1,119 @@
+"""Bucketed-ESC engine (ops/bucketed.py): planning, class dispatch, state
+reuse, and stress shapes — the TPU analogue of the reference's 13-bin
+dispatch tests-by-construction (inc/binning.cuh)."""
+
+import numpy as np
+import pytest
+
+from mh_spgemm_tpu import (CSR, SpGEMMConfig, Timing, oracle_spgemm,
+                           spgemm_host, verify)
+from mh_spgemm_tpu.bench import gen
+from mh_spgemm_tpu.ops.bucketed import plan_buckets
+from mh_spgemm_tpu.pipeline import spgemm_bucketed
+
+
+def _check(A, B=None, **cfg_kw):
+    cfg = SpGEMMConfig(mode="bucketed", **cfg_kw)
+    C = spgemm_host(A, B, config=cfg)
+    C_ref = oracle_spgemm(A, B if B is not None else A)
+    assert verify(C, C_ref, tol=1e-9, raise_on_fail=False), \
+        f"mismatch: nnz {C.nnz} vs {C_ref.nnz}"
+    return C
+
+
+def test_plan_classes_cover_all_active_rows():
+    A = gen.powerlaw(400, avg_nnz=6, seed=11)
+    plan = plan_buckets(A.ptr, A.col, A.ptr, min_width=8)
+    blens = np.diff(A.ptr).astype(np.int64)
+    p_row = np.add.reduceat(
+        blens[A.col], A.ptr[:-1].clip(0, max(0, A.nnz - 1))) \
+        if A.nnz else np.zeros(A.M)
+    got = np.concatenate([c.rows_g.reshape(-1) for c in plan.classes])
+    got = np.sort(got[got >= 0])
+    # every row with work appears exactly once
+    cs = np.concatenate([[0], np.cumsum(blens[A.col])])
+    p_row = cs[A.ptr[1:]] - cs[A.ptr[:-1]]
+    expect = np.flatnonzero(p_row > 0)
+    assert np.array_equal(got, expect)
+    # every row fits its class width
+    for c in plan.classes:
+        rows = c.rows_g.reshape(-1)
+        assert np.all(p_row[rows[rows >= 0]] <= c.W)
+
+
+def test_multi_class_small_width():
+    # min_width=8 forces several classes + chunking on a small matrix
+    A = gen.powerlaw(300, avg_nnz=5, seed=3)
+    _check(A, min_bucket_width=8, bucket_area_cap=1 << 12)
+
+
+def test_huge_row_class():
+    # one row referencing many B rows -> its own wide class (the
+    # global-memory-bin analogue, inc/binning.cuh bin 10)
+    rng = np.random.default_rng(0)
+    rows = np.concatenate([np.zeros(150, np.int64),
+                           rng.integers(1, 200, 400)])
+    cols = np.concatenate([rng.choice(200, 150, replace=False),
+                           rng.integers(0, 200, 400)])
+    vals = rng.standard_normal(550)
+    A = CSR.from_coo(200, 200, rows, cols, vals, sum_duplicates=True)
+    _check(A, min_bucket_width=8, bucket_area_cap=1 << 10)
+
+
+def test_duplicate_columns_in_a():
+    # the reference reader keeps duplicate coordinates (inc/mmio_read.h);
+    # duplicates multiply through and accumulate
+    A = CSR.from_coo(3, 3, [0, 0, 1, 2], [1, 1, 2, 0],
+                     [2.0, 3.0, 1.0, 4.0])
+    B = CSR.from_coo(3, 3, [0, 1, 2], [0, 1, 2], [1.0, 1.0, 1.0])
+    C = spgemm_host(A, B, config=SpGEMMConfig(mode="bucketed"))
+    ref = oracle_spgemm(A, B)
+    assert verify(C, ref, raise_on_fail=False)
+
+
+def test_state_reuse_is_stable():
+    A = gen.banded(250, band=9, nnz_per_row=6, seed=5)
+    state = None
+    outs = []
+    for _ in range(3):
+        t = Timing()
+        C, state = spgemm_bucketed(A, A, timing=t, state=state)
+        outs.append(C.host())
+    ref = oracle_spgemm(A, A)
+    for C in outs:
+        assert verify(C, ref, raise_on_fail=False)
+    # capacities learned once
+    assert state.plan.class_caps is not None
+    assert state.plan.nnz_c == ref.nnz
+
+
+def test_empty_b_rows_referenced():
+    # A references only empty B rows -> C empty
+    A = CSR.from_coo(4, 4, [0, 1], [2, 3], [1.0, 1.0])
+    B = CSR.from_coo(4, 4, [0], [0], [5.0])
+    C = spgemm_host(A, B, config=SpGEMMConfig(mode="bucketed"))
+    assert C.nnz == 0
+
+
+def test_bucketed_structural_zero_kept():
+    A = CSR.from_coo(2, 2, [0, 0, 1, 1], [0, 1, 0, 1],
+                     [1.0, -1.0, 1.0, 1.0])
+    C = spgemm_host(A, config=SpGEMMConfig(mode="bucketed"))
+    C_ref = oracle_spgemm(A, A)
+    assert C.nnz == C_ref.nnz
+    assert verify(C, C_ref, raise_on_fail=False)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_rect(seed):
+    rng = np.random.default_rng(seed)
+    m, k, n = rng.integers(5, 120, 3)
+    nnz_a = int(rng.integers(1, m * k // 2 + 2))
+    nnz_b = int(rng.integers(1, k * n // 2 + 2))
+    A = CSR.from_coo(m, k, rng.integers(0, m, nnz_a),
+                     rng.integers(0, k, nnz_a),
+                     rng.standard_normal(nnz_a), sum_duplicates=True)
+    B = CSR.from_coo(k, n, rng.integers(0, k, nnz_b),
+                     rng.integers(0, n, nnz_b),
+                     rng.standard_normal(nnz_b), sum_duplicates=True)
+    _check(A, B, min_bucket_width=8)

@@ -8,7 +8,7 @@ from mh_spgemm_tpu import (SpGEMMConfig, Timing, oracle_spgemm, spgemm_host,
                            verify)
 from mh_spgemm_tpu.bench import gen
 
-MODES = ("masked", "esc")
+MODES = ("masked", "esc", "bucketed")
 
 
 def _run(A, B=None, mode="masked"):
