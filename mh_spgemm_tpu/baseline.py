@@ -64,10 +64,22 @@ def oracle_spgemm(A: CSR, B: CSR) -> CSR:
 
 
 def timed_oracle_spgemm(A: CSR, B: CSR) -> Tuple[CSR, float]:
-    """Oracle run + wall time in ms (the 'cusparse_time' analogue)."""
+    """Oracle result + wall time in ms (the 'cusparse_time' analogue).
+
+    The timed portion is the plain scipy value product only — what a CPU
+    user actually pays — NOT the structure-correction pass
+    :func:`oracle_spgemm` adds for exact differential testing."""
+    import scipy.sparse as sp
+    a = sp.csr_matrix((A.val.astype(np.float64), A.col, A.ptr),
+                      shape=(A.M, A.N))
+    b = sp.csr_matrix((B.val.astype(np.float64), B.col, B.ptr),
+                      shape=(B.M, B.N))
     t0 = time.perf_counter()
-    C = oracle_spgemm(A, B)
-    return C, (time.perf_counter() - t0) * 1e3
+    c = a @ b
+    c.sort_indices()
+    ms = (time.perf_counter() - t0) * 1e3
+    del c
+    return oracle_spgemm(A, B), ms
 
 
 def verify(C: CSR, C_ref: CSR, tol: float = 1e-9, verbose: bool = True,

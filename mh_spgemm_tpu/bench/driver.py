@@ -79,16 +79,23 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
     C = None
     bench_timing = Timing()
     try:
-        if config.mode == "bucketed":
-            from ..pipeline import spgemm_bucketed
+        mode = config.mode
+        if mode == "auto":
+            from ..pipeline import choose_engine
+            mode = choose_engine(A, B, config)
+            if verbose:
+                print(f"auto engine: {mode}")
+        if mode in ("bucketed", "blockdense"):
+            from ..pipeline import spgemm_blockdense, spgemm_bucketed
+            run = (spgemm_bucketed if mode == "bucketed"
+                   else spgemm_blockdense)
             state = None
             for _ in range(warmup):
-                C, state = spgemm_bucketed(A, B, config=config,
-                                           timing=Timing(), state=state)
+                C, state = run(A, B, config=config, timing=Timing(),
+                               state=state)
             for _ in range(iters):
                 t = Timing()
-                C, state = spgemm_bucketed(A, B, config=config, timing=t,
-                                           state=state)
+                C, state = run(A, B, config=config, timing=t, state=state)
                 bench_timing += t
         else:
             dA = A.device(config.vdtype, pad=True)
@@ -149,8 +156,9 @@ def main(argv=None) -> int:
                    help=".mtx path or suite matrix name")
     p.add_argument("--suite", action="store_true",
                    help="run the 16-matrix suite")
-    p.add_argument("--mode", default="bucketed",
-                   choices=["bucketed", "masked", "esc"])
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "bucketed", "blockdense", "masked",
+                            "esc"])
     p.add_argument("--dtype", default="float64",
                    choices=["float64", "float32"])
     p.add_argument("--aat", action="store_true", help="C = A @ A^T")

@@ -1,0 +1,391 @@
+"""Block-dense MXU SpGEMM engine — where the FLOPs meet the systolic array.
+
+The reference's hash-numeric treats every matrix the same way; its adaptive
+grouping (``inc/Calculate_C_nnz.cuh:47-87``) only tunes thread counts.  On
+TPU the analogous — but far bigger — adaptive decision is *which compute
+unit gets the work*: matrices whose nonzeros cluster into dense 128x128
+blocks (banded / FEM / block-structured, half the reference's benchmark
+suite) multiply orders of magnitude faster as batched dense matmuls on the
+MXU than as per-element streams on the VPU.
+
+Scheme (all planning host-side and cached; block size = 128 = MXU tile):
+
+1. densify A and B nonzero blocks once: ``[nblk, 128, 128]`` value arrays
+   plus 0/1 pattern arrays (structural nonzeros must survive numerical
+   cancellation — pattern is tracked by a parallel pattern matmul, the
+   dense analogue of the reference's symbolic stage);
+2. pair list: for every C block (i, j), the k's with A(i,k) and B(k,j)
+   both nonzero, sorted by C block — one batched MXU ``dot_general`` over
+   all pairs, then a segmented block-sum in pair order (log passes, no
+   scatter);
+3. convert each C block-row into the bucketed engine's left-packed strip
+   form (one batched in-row sort) and reuse its gather-only extraction.
+
+Dispatch between this engine and the bucketed-ESC engine is per matrix by
+a host-side cost model over the block fill factor (see
+:func:`blockdense_cost`) — the TPU re-interpretation of row binning:
+instead of 13 hash-size bins, two *compute-unit* bins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .shapes import quantize
+
+BS = 128  # MXU systolic tile edge
+
+
+# ---------------------------------------------------------------------------
+# Host planning
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BlockPlan:
+    """Host plan for the block-dense engine (cached per (A, B))."""
+
+    m: int
+    n: int
+    mb: int                      # ceil(m / BS)
+    nab: int                     # number of nonzero A blocks
+    nbb: int
+    ncb: int                     # number of candidate C blocks
+    npairs: int
+    # densification scatter indices (entry granularity, used once)
+    a_blk_of_ent: np.ndarray     # int32[nnzA]  which dense A block
+    a_pos_of_ent: np.ndarray     # int32[nnzA]  r%BS * BS + c%BS
+    b_blk_of_ent: np.ndarray
+    b_pos_of_ent: np.ndarray
+    # pair stream (sorted by C block)
+    pair_a: np.ndarray           # int32[npairs] A block index
+    pair_b: np.ndarray           # int32[npairs] B block index
+    pair_new: np.ndarray         # bool[npairs]  True at C-block starts
+    cb_i: np.ndarray             # int32[ncb]   C block row
+    cb_j: np.ndarray             # int32[ncb]   C block col
+    end_pair: np.ndarray         # int32[ncb]   last pair index of each cb
+    seg_passes: int              # log2 bound on pairs per C block
+    # strip layout (C block-rows -> left-packed slabs, by nj class)
+    strips: list = dataclasses.field(default_factory=list)
+    slab_row_start: Optional[np.ndarray] = None
+    flops: int = 0               # 2 * npairs * BS^3 (dense work)
+    dev: Optional[dict] = None
+    nnz_c: Optional[int] = None
+    nnz_cap: Optional[int] = None
+
+
+@dataclasses.dataclass
+class StripClass:
+    """C block-rows with the same (quantized) block count nj."""
+
+    nj: int                      # blocks per strip (padded)
+    nrows_blk: int               # number of block-rows in this class
+    blk_rows: np.ndarray         # int32[nrows_blk] block-row ids
+    cb_idx: np.ndarray           # int32[nrows_blk, nj] C block ids (-1 pad)
+
+
+def plan_blockdense(a_ptr: np.ndarray, a_col: np.ndarray,
+                    b_ptr: np.ndarray, b_col: np.ndarray,
+                    m: int, k: int, n: int) -> Optional[BlockPlan]:
+    """Build the block plan, or None if the pair stream is degenerate."""
+    nnz_a, nnz_b = a_ptr[-1], b_ptr[-1]
+    if nnz_a == 0 or nnz_b == 0:
+        return None
+    mb = -(-m // BS)
+
+    def block_index(ptr, col, nrows):
+        rows = np.repeat(np.arange(nrows, dtype=np.int64),
+                         np.diff(ptr)).astype(np.int64)
+        bi, bj = rows // BS, col.astype(np.int64) // BS
+        key = bi * (1 << 32) + bj
+        uniq, inv = np.unique(key, return_inverse=True)
+        pos = (rows % BS) * BS + (col.astype(np.int64) % BS)
+        return (uniq >> 32).astype(np.int32), \
+            (uniq & 0xFFFFFFFF).astype(np.int32), \
+            inv.astype(np.int32), pos.astype(np.int32)
+
+    abi, abj, a_inv, a_pos = block_index(a_ptr, a_col[:nnz_a], m)
+    bbi, bbj, b_inv, b_pos = block_index(b_ptr, b_col[:nnz_b], k)
+    nab, nbb = abi.size, bbi.size
+
+    # join A blocks (i, kb) with B block-rows kb -> pairs (i, kb, j)
+    border = np.lexsort((bbj, bbi))
+    bbi_s, bbj_s = bbi[border], bbj[border]
+    kb_ptr = np.zeros(-(-k // BS) + 1, dtype=np.int64)
+    np.add.at(kb_ptr, bbi_s + 1, 1)
+    np.cumsum(kb_ptr, out=kb_ptr)
+    deg = (kb_ptr[abj + 1] - kb_ptr[abj]).astype(np.int64)
+    npairs = int(deg.sum())
+    if npairs == 0:
+        return None
+    pa = np.repeat(np.arange(nab, dtype=np.int64), deg)
+    base = np.repeat(kb_ptr[abj] - np.concatenate(
+        [[0], np.cumsum(deg)[:-1]]), deg)
+    bslot = base + np.arange(npairs, dtype=np.int64)
+    pb = border[bslot].astype(np.int64)
+    ci = abi[pa].astype(np.int64)
+    cj = bbj_s[bslot].astype(np.int64)
+
+    order = np.lexsort((cj, ci))
+    pa, pb, ci, cj = pa[order], pb[order], ci[order], cj[order]
+    ckey = ci * (1 << 32) + cj
+    new = np.concatenate([[True], ckey[1:] != ckey[:-1]])
+    cb_i = ci[new].astype(np.int32)
+    cb_j = cj[new].astype(np.int32)
+    ncb = int(new.sum())
+    starts = np.flatnonzero(new)
+    end_pair = np.concatenate([starts[1:], [npairs]]) - 1  # last pair of cb
+    seg_len = np.diff(np.concatenate([starts, [npairs]]))
+    seg_passes = max(1, int(seg_len.max() - 1).bit_length()) \
+        if seg_len.size else 1
+
+    plan = BlockPlan(
+        m=m, n=n, mb=mb, nab=nab, nbb=nbb, ncb=ncb, npairs=npairs,
+        a_blk_of_ent=a_inv, a_pos_of_ent=a_pos,
+        b_blk_of_ent=b_inv, b_pos_of_ent=b_pos,
+        pair_a=pa.astype(np.int32), pair_b=pb.astype(np.int32),
+        pair_new=new, cb_i=cb_i, cb_j=cb_j, end_pair=end_pair.astype(
+            np.int32), seg_passes=seg_passes,
+        flops=2 * npairs * BS ** 3)
+
+    # strip classes: block-rows grouped by quantized nj (#C blocks)
+    nj_of = np.bincount(cb_i, minlength=mb)
+    cb_order = np.arange(ncb, dtype=np.int64)  # cb already sorted by (i, j)
+    cb_starts = np.zeros(mb + 1, dtype=np.int64)
+    np.add.at(cb_starts, cb_i + 1, 1)
+    np.cumsum(cb_starts, out=cb_starts)
+    active = np.flatnonzero(nj_of > 0).astype(np.int32)
+    slab_row_start = np.zeros(m, dtype=np.int64)
+    base = 0
+    for njq in sorted(set(int(quantize(int(x))) for x in nj_of[active])):
+        sel = active[quantize_vec(nj_of[active]) == njq]
+        cb_idx = np.full((sel.size, njq), -1, dtype=np.int32)
+        for t, i in enumerate(sel):
+            s, e = cb_starts[i], cb_starts[i + 1]
+            cb_idx[t, : e - s] = cb_order[s:e]
+        plan.strips.append(StripClass(nj=njq, nrows_blk=sel.size,
+                                      blk_rows=sel, cb_idx=cb_idx))
+        # strip t covers global rows [sel[t]*BS, +BS); row r's slab row is
+        # (strip base) + (r % BS) * (nj*BS)
+        W = njq * BS
+        for t, i in enumerate(sel):
+            lo = i * BS
+            hi = min(m, lo + BS)
+            slab_row_start[lo:hi] = (base + t * BS * W
+                                     + np.arange(hi - lo) * W)
+        base += sel.size * BS * W
+    if base >= 2**31:
+        return None                       # strip slab exceeds int32
+    plan.slab_row_start = slab_row_start.astype(np.int32)
+    return plan
+
+
+def quantize_vec(x: np.ndarray) -> np.ndarray:
+    return np.array([quantize(int(v)) for v in x], dtype=np.int64)
+
+
+def blockdense_cost(plan: Optional[BlockPlan], vdtype) -> float:
+    """Estimated seconds on the MXU path (dense flops at the measured
+    matmul rate + extraction) — compared against the bucketed engine's
+    ~31 ns/product to pick an engine (the compute-unit binning decision)."""
+    if plan is None:
+        return float("inf")
+    rate = 2.0e13 if jnp.dtype(vdtype) == jnp.float32 else 2.5e12
+    dense_s = plan.flops / rate
+    # densify + strips + extraction are bandwidth-ish terms
+    move_s = (plan.ncb * BS * BS) * 2e-9
+    return dense_s + move_s
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+def upload_blockplan(plan: BlockPlan) -> None:
+    if plan.dev is not None:
+        return
+    plan.dev = dict(
+        a_blk=jnp.asarray(plan.a_blk_of_ent),
+        a_pos=jnp.asarray(plan.a_pos_of_ent),
+        b_blk=jnp.asarray(plan.b_blk_of_ent),
+        b_pos=jnp.asarray(plan.b_pos_of_ent),
+        pair_a=jnp.asarray(plan.pair_a),
+        pair_b=jnp.asarray(plan.pair_b),
+        pair_new=jnp.asarray(plan.pair_new),
+        cb_j=jnp.asarray(plan.cb_j),
+        # per strip class: C-block ids (-1 pad), their segment-end pair
+        # positions, and the first global row of each block-row
+        strips=[(jnp.asarray(s.cb_idx),
+                 jnp.asarray(np.where(s.cb_idx >= 0,
+                                      plan.end_pair[np.maximum(s.cb_idx, 0)],
+                                      -1).astype(np.int32)),
+                 jnp.asarray(s.blk_rows.astype(np.int32) * BS))
+                for s in plan.strips],
+        slab_start=jnp.asarray(plan.slab_row_start),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nblk",))
+def densify(blk_of_ent, pos_of_ent, val, nblk: int):
+    """Scatter CSR entries into dense [nblk, BS, BS] value and pattern
+    arrays (entry-granularity, once per operand)."""
+    flat_idx = blk_of_ent.astype(jnp.int64) * (BS * BS) + pos_of_ent
+    dense = jnp.zeros((nblk * BS * BS,), val.dtype).at[flat_idx].add(val)
+    pat = jnp.zeros((nblk * BS * BS,), jnp.float32).at[flat_idx].set(1.0)
+    return (dense.reshape(nblk, BS, BS), pat.reshape(nblk, BS, BS))
+
+
+def _seg_block_sum(vals: jax.Array, new: jax.Array, passes: int
+                   ) -> jax.Array:
+    """Segmented inclusive sum over the pair axis of [npairs, BS, BS]."""
+    v, f = vals, new
+    dist = 1
+    for _ in range(passes):
+        sv = jnp.concatenate([jnp.zeros_like(v[:dist]), v[:-dist]], axis=0)
+        sf = jnp.concatenate([jnp.ones((dist,), bool), f[:-dist]], axis=0)
+        v = jnp.where(f[:, None, None], v, v + sv)
+        f = f | sf
+        dist *= 2
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "seg_passes", "m",
+                                              "pair_chunk"))
+def blockdense_main(dev, a_dense, a_pat, b_dense, b_pat, *,
+                    specs: tuple, seg_passes: int, m: int,
+                    pair_chunk: int):
+    """Batched MXU matmuls over the pair stream + segmented block sums +
+    strip packing.  Returns (crow_nnz, cptr, total, strips)."""
+    pair_a, pair_b = dev["pair_a"], dev["pair_b"]
+    new = dev["pair_new"]
+    npairs = pair_a.shape[0]
+
+    # pad the pair stream to a chunk multiple; padded pairs start their own
+    # zero segments (new=True, operands=block 0 masked to zero via weight)
+    npad = -(-npairs // pair_chunk) * pair_chunk
+    if npad != npairs:
+        pz = jnp.zeros((npad - npairs,), jnp.int32)
+        pair_a = jnp.concatenate([pair_a, pz])
+        pair_b = jnp.concatenate([pair_b, pz])
+        new = jnp.concatenate([new, jnp.ones((npad - npairs,), bool)])
+    live = jnp.arange(npad, dtype=jnp.int32) < npairs
+
+    def chunk(xs):
+        pa, pb, lv = xs
+        w = lv.astype(a_dense.dtype)
+        av = a_dense[pa] * w[:, None, None]
+        bv = b_dense[pb]
+        ap = a_pat[pa] * lv.astype(jnp.float32)[:, None, None]
+        bp = b_pat[pb]
+        prod = jax.lax.dot_general(
+            av, bv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=av.dtype)
+        patp = jax.lax.dot_general(
+            ap, bp, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return prod, patp
+
+    nchunk = npad // pair_chunk
+    if nchunk == 1:
+        prod, pat = chunk((pair_a, pair_b, live))
+    else:
+        prod, pat = jax.lax.map(
+            chunk, (pair_a.reshape(nchunk, pair_chunk),
+                    pair_b.reshape(nchunk, pair_chunk),
+                    live.reshape(nchunk, pair_chunk)))
+        prod = prod.reshape(npad, BS, BS)
+        pat = pat.reshape(npad, BS, BS)
+
+    vsum = _seg_block_sum(prod, new, seg_passes)
+    psum = _seg_block_sum(pat, new, seg_passes)
+
+    # strips: per class, take each block-row's C blocks directly at their
+    # segment-end pair positions (host-computed), lay them side by side,
+    # left-pack each row by structural-pattern rank
+    crow = jnp.zeros((m,), jnp.int32)
+    strips = []
+    total = jnp.zeros((), jnp.int64)
+    cb_j = dev["cb_j"]
+    for (nj, nrows_blk), (cb_idx, endp, rows0) in zip(specs, dev["strips"]):
+        keepb = (cb_idx >= 0).astype(jnp.float32)[:, :, None, None]
+        safe_e = jnp.where(endp >= 0, endp, 0)
+        vb = vsum[safe_e] * keepb.astype(vsum.dtype)   # [R, nj, BS, BS]
+        pb = psum[safe_e] * keepb
+        safe_c = jnp.where(cb_idx >= 0, cb_idx, 0)
+        colb = (cb_j[safe_c] * BS)[:, :, None, None] + jnp.arange(
+            BS, dtype=jnp.int32)[None, None, None, :]
+        W = nj * BS
+        # [R*BS(rows), nj*BS(cols)]
+        v2 = vb.transpose(0, 2, 1, 3).reshape(-1, W)
+        p2 = pb.transpose(0, 2, 1, 3).reshape(-1, W)
+        c2 = jnp.broadcast_to(colb, (nrows_blk, nj, BS, BS)).transpose(
+            0, 2, 1, 3).reshape(-1, W)
+        has = p2 > 0
+        rank = jnp.cumsum(has, axis=1, dtype=jnp.int32) - 1
+        key = jnp.where(has, rank, jnp.int32(2**31 - 1))
+        _, oC, oV = jax.lax.sort((key, c2, v2), num_keys=1, dimension=1)
+        nnz_row = jnp.sum(has, axis=1, dtype=jnp.int32)
+        strips.append((oC, oV))
+        total = total + jnp.sum(nnz_row.astype(jnp.int64))
+        gr = (rows0[:, None] + jnp.arange(BS, dtype=jnp.int32)[None, :]
+              ).reshape(-1)
+        gr = jnp.where(gr < m, gr, m)
+        crow = jnp.zeros((m + 1,), jnp.int32).at[gr].set(
+            nnz_row, mode="drop")[:m] + crow
+    cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(crow)])
+    return crow, cptr, total, strips
+
+
+@functools.partial(jax.jit, static_argnames=("m", "nnz_cap"))
+def blockdense_extract(strips, slab_row_start, cptr, *, m: int,
+                       nnz_cap: int):
+    """Same gather-only extraction as the bucketed engine, over the strip
+    slabs."""
+    flat_c = jnp.concatenate([oC.reshape(-1) for oC, _ in strips])
+    flat_v = jnp.concatenate([oV.reshape(-1) for _, oV in strips])
+    slab_base = slab_row_start - cptr[:m]
+    row_of = jnp.cumsum(
+        jnp.zeros((nnz_cap,), jnp.int32).at[cptr[1:m]].add(1, mode="drop"))
+    j = jnp.arange(nnz_cap, dtype=jnp.int32)
+    ok = j < cptr[m]
+    src = jnp.where(ok, slab_base[row_of] + j, 0)
+    ccol = jnp.where(ok, flat_c[src], 0)
+    cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
+    return ccol, cval
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+def run_blockdense(plan: BlockPlan, a_val, b_val, pair_chunk: int = 512):
+    """Densify (cached in plan.dev) + main program dispatch."""
+    upload_blockplan(plan)
+    d = plan.dev
+    if "a_dense" not in d:
+        d["a_dense"], d["a_pat"] = densify(
+            d["a_blk"], d["a_pos"], a_val, nblk=plan.nab)
+        d["b_dense"], d["b_pat"] = densify(
+            d["b_blk"], d["b_pos"], b_val, nblk=plan.nbb)
+    specs = tuple((s.nj, s.nrows_blk) for s in plan.strips)
+    chunk = min(quantize(plan.npairs), pair_chunk)
+    return blockdense_main(
+        d, d["a_dense"], d["a_pat"], d["b_dense"], d["b_pat"],
+        specs=specs, seg_passes=plan.seg_passes, m=plan.m,
+        pair_chunk=chunk)
+
+
+def finish_blockdense(plan: BlockPlan, main_out):
+    crow, cptr, total, strips = main_out
+    if plan.nnz_cap is None:
+        plan.nnz_c = int(np.asarray(total))       # one first-run sync
+        plan.nnz_cap = quantize(max(1, plan.nnz_c))
+    ccol, cval = blockdense_extract(
+        strips, plan.dev["slab_start"], cptr, m=plan.m,
+        nnz_cap=plan.nnz_cap)
+    return cptr, ccol, cval
