@@ -91,8 +91,11 @@ class StripClass:
 
 def plan_blockdense(a_ptr: np.ndarray, a_col: np.ndarray,
                     b_ptr: np.ndarray, b_col: np.ndarray,
-                    m: int, k: int, n: int) -> Optional[BlockPlan]:
-    """Build the block plan, or None if the pair stream is degenerate."""
+                    m: int, k: int, n: int,
+                    max_pairs: int = 16384) -> Optional[BlockPlan]:
+    """Build the block plan, or None when the engine is infeasible: empty
+    operands, a pair stream too large to batch on-chip (scattered
+    matrices — the bucketed engine's regime), or a >int32 strip slab."""
     nnz_a, nnz_b = a_ptr[-1], b_ptr[-1]
     if nnz_a == 0 or nnz_b == 0:
         return None
@@ -121,7 +124,7 @@ def plan_blockdense(a_ptr: np.ndarray, a_col: np.ndarray,
     np.cumsum(kb_ptr, out=kb_ptr)
     deg = (kb_ptr[abj + 1] - kb_ptr[abj]).astype(np.int64)
     npairs = int(deg.sum())
-    if npairs == 0:
+    if npairs == 0 or npairs > max_pairs:
         return None
     pa = np.repeat(np.arange(nab, dtype=np.int64), deg)
     base = np.repeat(kb_ptr[abj] - np.concatenate(
@@ -190,16 +193,17 @@ def quantize_vec(x: np.ndarray) -> np.ndarray:
 
 
 def blockdense_cost(plan: Optional[BlockPlan], vdtype) -> float:
-    """Estimated seconds on the MXU path (dense flops at the measured
-    matmul rate + extraction) — compared against the bucketed engine's
-    ~31 ns/product to pick an engine (the compute-unit binning decision)."""
+    """Estimated seconds on the MXU path, calibrated on v5e (pdb1HYS-class:
+    ~15 ns per dense pair element in f64 covers the emulated-f64 matmul,
+    pattern matmul, segmented block sums and strip packing).  Compared
+    against the bucketed engine's ~31 ns/product to pick an engine — the
+    compute-unit reinterpretation of the reference's binning decision.
+    CSR extraction (~40 ns/nnz(C)) is common to both engines and omitted.
+    """
     if plan is None:
         return float("inf")
-    rate = 2.0e13 if jnp.dtype(vdtype) == jnp.float32 else 2.5e12
-    dense_s = plan.flops / rate
-    # densify + strips + extraction are bandwidth-ish terms
-    move_s = (plan.ncb * BS * BS) * 2e-9
-    return dense_s + move_s
+    per_elem = 5e-9 if jnp.dtype(vdtype) == jnp.float32 else 15e-9
+    return plan.npairs * BS * BS * per_elem
 
 
 # ---------------------------------------------------------------------------
