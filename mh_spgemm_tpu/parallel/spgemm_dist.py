@@ -1,11 +1,11 @@
 """Distributed SpGEMM: row-partitioned C = A @ B over a device mesh.
 
 New capability relative to the single-GPU reference (SURVEY.md §2.3): A and
-C are row-partitioned over the 1-D ``rows`` mesh axis; B is either
-replicated or row-sharded and reassembled per shard with
-``jax.lax.all_gather`` over ICI (the halo-exchange analogue; the ragged
-fetch-only-needed-rows all-to-all is the planned refinement).  Each shard
-runs the fused expand-sort-compress pipeline on its row block under
+C are row-partitioned over the 1-D ``rows`` mesh axis; B is replicated,
+row-sharded + ``all_gather``-ed, or — the halo-exchange analogue —
+row-sharded with each shard fetching ONLY the B rows its local A references
+through one host-planned ``all_to_all`` (``b_strategy='ragged'``).  Each
+shard runs the fused expand-sort-compress pipeline on its row block under
 ``shard_map`` — shapes are capacity-padded to the max over shards so one
 fixed-shape program serves every device, then the host trims.
 
@@ -30,6 +30,7 @@ from ..csr import CSR
 from ..errors import ShapeMismatchError, SpGEMMError, require
 from ..ops.expand import expand_products_sl
 from ..ops.scan import compact, exclusive_cumsum, rows_reduce_int, seg_scan
+from ..ops.shapes import quantize
 from ..ops.symbolic import _run_starts2
 from .mesh import ROWS
 
@@ -118,6 +119,91 @@ def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
             nnz_total.reshape(1))
 
 
+@dataclasses.dataclass
+class RaggedFetchPlan:
+    """Host-planned static exchange: which B rows each shard sends where.
+
+    The halo-exchange analogue for SpGEMM: shard d needs exactly the B
+    rows named by its local A columns — a static property of the sparsity
+    pattern — so the exchange is ONE ``all_to_all`` on host-precomputed
+    index arrays, with traffic proportional to the needed rows instead of
+    all of B (the SP/CP analogue named in SURVEY.md §2.3)."""
+
+    r_cap: int                 # max rows any (src, dst) pair exchanges
+    v_cap: int                 # max nonzeros any (src, dst) pair exchanges
+    n_cap: int                 # max distinct needed rows per shard
+    send_src: np.ndarray       # int32[D, D, v_cap] idx into local b arrays
+    recv_start: np.ndarray     # int32[D, n_cap] start in recv payload
+    recv_len: np.ndarray       # int32[D, n_cap]
+    a_col_remap: np.ndarray    # int32[D, a_cap] local A cols -> needed idx
+
+
+def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
+                      bpart: RowPartition) -> RaggedFetchPlan:
+    D, RB = bpart.n_shards, bpart.rows_per_shard
+    R = apart.rows_per_shard
+    needed = []            # per dst shard: sorted unique needed global rows
+    for d in range(D):
+        lo, hi = d * R, min((d + 1) * R, A.M)
+        cols = A.col[A.ptr[lo]:A.ptr[hi]] if hi > lo else \
+            np.zeros(0, np.int32)
+        needed.append(np.unique(cols).astype(np.int64))
+    blens = np.diff(B.ptr).astype(np.int64)
+
+    # v_cap counts REMOTE pairs only: a shard's own rows are read straight
+    # from its local block, so the exchange carries just the halo
+    r_cap = v_cap = n_cap = 1
+    for d in range(D):
+        n_cap = max(n_cap, needed[d].size)
+        src = needed[d] // RB
+        for s in range(D):
+            if s == d:
+                continue
+            rows = needed[d][src == s]
+            r_cap = max(r_cap, rows.size)
+            v_cap = max(v_cap, int(blens[rows].sum()) if rows.size else 0)
+    r_cap, v_cap, n_cap = quantize(r_cap), quantize(v_cap), quantize(n_cap)
+
+    bcap = bpart.nnz_cap
+    a_cap = apart.col.shape[1]
+    send_src = np.zeros((D, D, v_cap), dtype=np.int32)
+    recv_start = np.zeros((D, n_cap), dtype=np.int32)
+    recv_len = np.zeros((D, n_cap), dtype=np.int32)
+    a_col_remap = np.zeros((D, a_cap), dtype=np.int32)
+    for d in range(D):
+        nd = needed[d]
+        src = nd // RB
+        for s in range(D):
+            sel = np.flatnonzero(src == s)
+            rows = nd[sel]
+            lens = blens[rows]
+            recv_len[d, sel] = lens.astype(np.int32)
+            if s == d:
+                # local rows: direct offsets into the local padded block
+                recv_start[d, sel] = (B.ptr[rows]
+                                      - B.ptr[s * RB]).astype(np.int32)
+                continue
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+                if rows.size else np.zeros(0, np.int64)
+            if rows.size:
+                local_start = (B.ptr[rows] - B.ptr[s * RB]).astype(np.int64)
+                total = int(lens.sum())
+                flat = np.repeat(local_start - offs, lens) + np.arange(
+                    total, dtype=np.int64)
+                send_src[s, d, :total] = flat.astype(np.int32)
+            recv_start[d, sel] = (bcap + src[sel] * v_cap + offs
+                                  ).astype(np.int32)
+        # remap local A cols to needed-row indices
+        lo, hi = d * R, min((d + 1) * R, A.M)
+        if hi > lo:
+            k = int(A.ptr[hi] - A.ptr[lo])
+            cols = A.col[A.ptr[lo]:A.ptr[lo] + k].astype(np.int64)
+            a_col_remap[d, :k] = np.searchsorted(nd, cols).astype(np.int32)
+    return RaggedFetchPlan(r_cap=r_cap, v_cap=v_cap, n_cap=n_cap,
+                           send_src=send_src, recv_start=recv_start,
+                           recv_len=recv_len, a_col_remap=a_col_remap)
+
+
 def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
                 config: SpGEMMConfig = DEFAULT_CONFIG,
                 b_strategy: str = "allgather") -> CSR:
@@ -128,6 +214,10 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
       * ``"allgather"`` — B row-sharded; shards reassemble it with
         ``jax.lax.all_gather`` over the ``rows`` axis (ICI/DCN traffic
         proportional to nnz(B), overlapped by XLA with the expansion).
+      * ``"ragged"`` — B row-sharded; each shard fetches ONLY the rows its
+        local A references via one host-planned ``all_to_all`` (traffic
+        proportional to the needed halo; degrades gracefully to allgather
+        volume when every shard needs every row).
     """
     if B is None:
         B = A.transpose() if (config.aat and not A.is_symmetric) else A
@@ -208,6 +298,41 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
             out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
         crow_nnz, col_cap, val_cap, nnz_tot = fn(
             a_ptr, a_col, a_val, a_nnz, b_ptr_l, b_col_l, b_val_l)
+    elif b_strategy == "ragged":
+        bpart = partition_rows(B, D, value_dtype=vdtype)
+        fp = plan_ragged_fetch(A, B, part, bpart)
+        b_col_l = jax.device_put(bpart.col, shard)
+        b_val_l = jax.device_put(bpart.val, shard)
+        send_src = jax.device_put(fp.send_src, shard)       # [D][D, v_cap]
+        recv_start = jax.device_put(fp.recv_start, shard)   # [D][n_cap]
+        recv_len = jax.device_put(fp.recv_len, shard)
+        a_remap = jax.device_put(
+            fp.a_col_remap.reshape(D, part.nnz_cap), shard)
+
+        def wrapped(a_ptr, a_col, a_val, a_nnz, b_col_l, b_val_l,
+                    send_src, recv_start, recv_len, a_remap):
+            # pack per-destination payloads (host-planned indices), then
+            # ONE all_to_all moves every (src, dst) block over ICI/DCN
+            pc = b_col_l[0][send_src[0]]                    # [D, v_cap]
+            pv = b_val_l[0][send_src[0]]
+            rc = jax.lax.all_to_all(pc, ROWS, split_axis=0, concat_axis=0)
+            rv = jax.lax.all_to_all(pv, ROWS, split_axis=0, concat_axis=0)
+            # payload address space: [local block | halo from each shard]
+            rc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
+            rv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
+            return _shard_esc_kernel(
+                a_ptr, a_remap[0], a_val, a_nnz,
+                recv_len[0], recv_start[0], rc, rv,
+                rows_local=R, nnz_a_cap=part.nnz_cap, total=total,
+                max_group=max_group)
+
+        fn = jax.jit(jax.shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(ROWS),) * 10,
+            out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
+        crow_nnz, col_cap, val_cap, nnz_tot = fn(
+            a_ptr, a_col, a_val, a_nnz, b_col_l, b_val_l,
+            send_src, recv_start, recv_len, a_remap)
     else:
         raise SpGEMMError(f"unknown b_strategy {b_strategy!r}")
 

@@ -77,3 +77,31 @@ def test_dist_single_device():
     A = gen.tiny_fixture()
     C = spgemm_dist(A, None, mesh, b_strategy="replicate")
     assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_dist_ragged_matches_oracle(n):
+    mesh = _mesh(n)
+    A = gen.banded(120, band=9, nnz_per_row=5, seed=21)
+    C = spgemm_dist(A, None, mesh, b_strategy="ragged")
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_dist_ragged_powerlaw_and_uneven():
+    mesh = _mesh(8)
+    for A in (gen.powerlaw(300, avg_nnz=5, seed=22),
+              gen.random_uniform(101, nnz_per_row=4, seed=24)):
+        C = spgemm_dist(A, None, mesh, b_strategy="ragged")
+        assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_ragged_plan_traffic_below_allgather():
+    """Banded locality: the ragged fetch plan moves far less than nnz(B)."""
+    from mh_spgemm_tpu.parallel.spgemm_dist import (partition_rows,
+                                                    plan_ragged_fetch)
+    A = gen.banded(512, band=6, nnz_per_row=5, seed=3)
+    ap = partition_rows(A, 8)
+    bp = partition_rows(A, 8)
+    fp = plan_ragged_fetch(A, A, ap, bp)
+    # per-shard received volume cap (D * v_cap) well under full nnz(B)
+    assert 8 * fp.v_cap < A.nnz
