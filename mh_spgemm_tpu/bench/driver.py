@@ -49,6 +49,7 @@ class BenchResult:
     ok: Optional[bool] = None          # oracle comparison, if run
     oracle_ms: Optional[float] = None
     oracle_gflops: Optional[float] = None
+    stats: Optional[dict] = None       # engine occupancy counters
 
     def as_dict(self) -> dict:
         d = {
@@ -63,6 +64,8 @@ class BenchResult:
         if self.oracle_gflops is not None:
             d["oracle_ms"] = self.oracle_ms
             d["oracle_gflops"] = self.oracle_gflops
+        if self.stats is not None:
+            d["stats"] = self.stats
         return d
 
 
@@ -129,6 +132,8 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
     res = BenchResult(name=name, m=A.M, n=B.N, nnz_a=A.nnz, nnz_c=nnz_c,
                       intprod=intprod, timing=bench_timing, gflops=gf,
                       nnzc_per_s=nnzc_rate)
+    if mode in ("bucketed", "blockdense"):
+        res.stats = state.plan.stats()
     if check:
         C_ref, oracle_ms = timed_oracle_spgemm(A, B)
         res.oracle_ms = oracle_ms
@@ -169,6 +174,9 @@ def main(argv=None) -> int:
                    help="append GFLOPS to CSV (WRITE flag)")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per matrix")
+    p.add_argument("--stats", action="store_true",
+                   help="print engine occupancy counters (the "
+                        "HASH_CONFLICT-counter analogue)")
     args = p.parse_args(argv)
 
     tol = 1e-9 if args.dtype == "float64" else 1e-4
@@ -196,6 +204,8 @@ def main(argv=None) -> int:
                              check=args.check, verbose=not args.json)
             if args.json:
                 print(json.dumps(res.as_dict()))
+            if args.stats and res.stats is not None:
+                print("engine stats:", json.dumps(res.stats))
             if args.write:
                 append_csv(args.write, res.gflops)
             if res.ok is False:

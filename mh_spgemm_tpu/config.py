@@ -63,7 +63,9 @@ class SpGEMMConfig:
     # Bucketed engine (ops/bucketed.py): smallest row class width and the
     # per-chunk slot budget (rows_per_chunk * width <= area cap) — the
     # shared-memory-size analogue of the reference's hash capacity tables.
-    min_bucket_width: int = 128
+    # min width 8 measured best on v5e: padding dominates gather cost for
+    # short rows, and narrow batched sorts are nearly free (scripts/micro2).
+    min_bucket_width: int = 8
     bucket_area_cap: int = 1 << 23
 
     @property

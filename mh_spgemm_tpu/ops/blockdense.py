@@ -78,6 +78,24 @@ class BlockPlan:
     nnz_c: Optional[int] = None
     nnz_cap: Optional[int] = None
 
+    def stats(self) -> dict:
+        """Block-occupancy counters (the hash-conflict-counter analogue):
+        efficiency loss here is dense-block fill, not probe conflicts."""
+        dense_elems = self.ncb * BS * BS
+        return {
+            "engine": "blockdense",
+            "a_blocks": self.nab, "b_blocks": self.nbb,
+            "c_blocks": self.ncb, "pairs": self.npairs,
+            "mxu_flops": self.flops,
+            "nnz_c": self.nnz_c,
+            "c_fill": (round(self.nnz_c / dense_elems, 4)
+                       if self.nnz_c else None),
+            "strip_classes": [
+                {"nj": s.nj, "block_rows": s.nrows_blk}
+                for s in self.strips
+            ],
+        }
+
 
 @dataclasses.dataclass
 class StripClass:

@@ -101,6 +101,27 @@ class BucketPlan:
     nnz_c: Optional[int] = None
     nnz_cap: Optional[int] = None
 
+    def stats(self) -> dict:
+        """Occupancy/padding counters — the TPU analogue of the reference's
+        hash-conflict counter (inc/Calculate_C_nnz.cuh:153-155): the
+        bucketed engine has no probe conflicts by construction, its
+        efficiency loss is slot padding, reported per class."""
+        area = sum(c.W * c.rb * c.nchunks for c in self.classes)
+        return {
+            "engine": "bucketed",
+            "intprod": self.intprod,
+            "area_slots": area,
+            "padding_ratio": round(area / max(1, self.intprod), 3),
+            "nnz_c": self.nnz_c,
+            "classes": [
+                {"W": c.W, "chunks": c.nchunks, "rows_per_chunk": c.rb,
+                 "rows": int((c.rows_g >= 0).sum()),
+                 "entry_cap": c.eb, "hold_passes": c.hold_passes,
+                 "seg_passes": c.seg_passes}
+                for c in self.classes
+            ],
+        }
+
 
 def _log2_bound(x: int) -> int:
     return max(1, int(x - 1).bit_length()) if x > 1 else 0
