@@ -33,3 +33,26 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Join a multi-host jax runtime (DCN spans hosts; ICI spans the chips
+    within each host's slice).  After this, ``jax.devices()`` sees every
+    chip in the job and :func:`make_row_mesh` lays the ``rows`` axis over
+    all of them — host-local blocks exchange over ICI, cross-host over
+    DCN, with no code changes in the SpGEMM engines.
+
+    No-op when the runtime is already initialised or the job is
+    single-process (all arguments None and no cluster env detected).
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialised or single-process
