@@ -214,6 +214,11 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         slab_row_start[rows[live]] = (base + local[live] * c.W).astype(
             np.int32)
         base += rows.size * c.W
+    if base >= 2**31 or intprod >= 2**31:
+        raise ValueError(
+            f"bucketed slab area {base} / intprod {intprod} exceeds int32 "
+            "indexing; split the matrix (e.g. run the distributed "
+            "row-partitioned pipeline)")
     return BucketPlan(m=m, classes=classes, intprod=intprod,
                       slab_row_start=slab_row_start)
 
