@@ -91,7 +91,8 @@ class ClassPlan:
 class BucketPlan:
     """Host plan: row classes + device descriptor arrays + cached sizes."""
 
-    m: int
+    m: int                              # true row count
+    m_cap: int                          # quantized (jit-static) row count
     classes: List[ClassPlan]
     intprod: int
     slab_row_start: Optional[np.ndarray] = None  # int32[m] flat slab offset
@@ -142,7 +143,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     active = np.flatnonzero(p_row > 0).astype(np.int32)
     classes: List[ClassPlan] = []
     if active.size == 0:
-        return BucketPlan(m=m, classes=classes, intprod=intprod)
+        return BucketPlan(m=m, m_cap=quantize(max(1, m)), classes=classes,
+                          intprod=intprod)
 
     wclass = np.maximum(min_width,
                         2 ** np.ceil(np.log2(p_row[active])).astype(np.int64))
@@ -199,8 +201,11 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             rows_g=rows_pad.reshape(nchunks, rb),
             ent_dst=ent_dst, ent_src=ent_src, ent_len=ent_len,
             ent_aidx=ent_aidx,
-            hold_passes=_log2_bound(min(W, max_blen)),
-            seg_passes=_log2_bound(min(W, int(a_row_nnz.max(initial=1)))),
+            # pass counts standardized to log2(W): a tighter per-matrix
+            # bound would save a few ~free vector passes but split the jit
+            # cache per matrix — compile reuse wins on this backend
+            hold_passes=_log2_bound(W),
+            seg_passes=_log2_bound(W),
         ))
 
     # flat offset of each row's slab in the concatenated class slabs
@@ -219,7 +224,10 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             f"bucketed slab area {base} / intprod {intprod} exceeds int32 "
             "indexing; split the matrix (e.g. run the distributed "
             "row-partitioned pipeline)")
-    return BucketPlan(m=m, classes=classes, intprod=intprod,
+    m_cap = quantize(max(1, m))
+    slab_row_start = np.concatenate(
+        [slab_row_start, np.zeros(m_cap - m, np.int32)])
+    return BucketPlan(m=m, m_cap=m_cap, classes=classes, intprod=intprod,
                       slab_row_start=slab_row_start)
 
 
@@ -401,7 +409,7 @@ def run_bucketed(plan: BucketPlan, a_val, b_col, b_val):
     upload_plan(plan)
     specs = tuple(c.spec for c in plan.classes)
     return bucketed_main(plan.dev, a_val, b_col, b_val,
-                         specs=specs, m=plan.m)
+                         specs=specs, m=plan.m_cap)
 
 
 def finish_bucketed(plan: BucketPlan, main_out, vdtype):
@@ -414,5 +422,6 @@ def finish_bucketed(plan: BucketPlan, main_out, vdtype):
         plan.nnz_c = int(t.sum())
         plan.nnz_cap = quantize(max(1, plan.nnz_c))
     ccol, cval = bucketed_extract(
-        slabs, plan.dev_slab_start, cptr, m=plan.m, nnz_cap=plan.nnz_cap)
+        slabs, plan.dev_slab_start, cptr, m=plan.m_cap,
+        nnz_cap=plan.nnz_cap)
     return cptr, ccol, cval
