@@ -134,6 +134,14 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
                       nnzc_per_s=nnzc_rate)
     if mode in ("bucketed", "blockdense"):
         res.stats = state.plan.stats()
+        # roofline-style audit: achieved cost per intermediate product vs
+        # the measured per-element random-access floor (SURVEY.md §5.1's
+        # per-kernel audit, aggregated per run)
+        if intprod and total_ms > 0:
+            res.stats["ns_per_product"] = round(
+                total_ms * 1e6 / intprod, 2)
+            res.stats["floor_ns_per_product"] = (
+                31 if mode == "bucketed" else None)
     if check:
         C_ref, oracle_ms = timed_oracle_spgemm(A, B)
         res.oracle_ms = oracle_ms

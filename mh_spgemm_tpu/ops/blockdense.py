@@ -368,14 +368,13 @@ def blockdense_extract(strips, slab_row_start, cptr, *, m: int,
                        nnz_cap: int):
     """Same gather-only extraction as the bucketed engine, over the strip
     slabs."""
+    from .bucketed import _slab_src
     flat_c = jnp.concatenate([oC.reshape(-1) for oC, _ in strips])
     flat_v = jnp.concatenate([oV.reshape(-1) for _, oV in strips])
-    slab_base = slab_row_start - cptr[:m]
-    row_of = jnp.cumsum(
-        jnp.zeros((nnz_cap,), jnp.int32).at[cptr[1:m]].add(1, mode="drop"))
+    src = _slab_src(slab_row_start, cptr, m, nnz_cap)
     j = jnp.arange(nnz_cap, dtype=jnp.int32)
     ok = j < cptr[m]
-    src = jnp.where(ok, slab_base[row_of] + j, 0)
+    src = jnp.clip(jnp.where(ok, src, 0), 0, flat_c.shape[0] - 1)
     ccol = jnp.where(ok, flat_c[src], 0)
     cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
     return ccol, cval

@@ -388,16 +388,27 @@ def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int):
     """
     flat_c = jnp.concatenate([oC.reshape(-1) for oC, _, _ in slabs])
     flat_v = jnp.concatenate([oV.reshape(-1) for _, oV, _ in slabs])
-    slab_base = slab_row_start - cptr[:m]
-    # expand row ids over the output stream: ones at row starts + cumsum
-    row_of = jnp.cumsum(
-        jnp.zeros((nnz_cap,), jnp.int32).at[cptr[1:m]].add(1, mode="drop"))
+    src = _slab_src(slab_row_start, cptr, m, nnz_cap)
     j = jnp.arange(nnz_cap, dtype=jnp.int32)
     ok = j < cptr[m]
-    src = jnp.where(ok, slab_base[row_of] + j, 0)
+    src = jnp.clip(jnp.where(ok, src, 0), 0, flat_c.shape[0] - 1)
     ccol = jnp.where(ok, flat_c[src], 0)
     cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
     return ccol, cval
+
+
+def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
+              nnz_cap: int) -> jax.Array:
+    """Slab source index of every output position WITHOUT a per-element
+    row lookup: within a row, src advances by 1, and at row starts it
+    jumps by a known delta — so ``src = j + cumsum(deltas scattered at row
+    starts)``, two vector passes instead of two gathers per element."""
+    base = slab_row_start - cptr[:m]
+    prev = jnp.concatenate([jnp.zeros((1,), base.dtype), base[:-1]])
+    hold = jnp.cumsum(
+        jnp.zeros((nnz_cap,), jnp.int32).at[cptr[:m]].add(
+            base - prev, mode="drop"))
+    return jnp.arange(nnz_cap, dtype=jnp.int32) + hold
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,11 @@ def spgemm(A: DeviceCSR, B: DeviceCSR,
         return _spgemm_masked(A, B, config, timing, plan)
     elif config.mode == "esc":
         return _spgemm_esc(A, B, config, timing, plan)
+    if config.mode in ("bucketed", "blockdense", "auto"):
+        raise SpGEMMError(
+            f"mode {config.mode!r} plans from host CSR data — call "
+            "spgemm_host / spgemm_bucketed / spgemm_blockdense instead of "
+            "the DeviceCSR-level spgemm()")
     raise SpGEMMError(f"unknown mode {config.mode!r}")
 
 
