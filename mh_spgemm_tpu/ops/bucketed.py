@@ -386,8 +386,11 @@ def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int):
     concatenated class slabs; output position ``j`` of row ``r`` reads slab
     element ``slab_row_start[r] + (j - cptr[r])``.
     """
-    flat_c = jnp.concatenate([oC.reshape(-1) for oC, _, _ in slabs])
-    flat_v = jnp.concatenate([oV.reshape(-1) for _, oV, _ in slabs])
+    parts_c = [oC.reshape(-1) for oC, _, _ in slabs]
+    parts_v = [oV.reshape(-1) for _, oV, _ in slabs]
+    # single class: gather straight from the slab, no concat copy
+    flat_c = parts_c[0] if len(parts_c) == 1 else jnp.concatenate(parts_c)
+    flat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v)
     src = _slab_src(slab_row_start, cptr, m, nnz_cap)
     j = jnp.arange(nnz_cap, dtype=jnp.int32)
     ok = j < cptr[m]
