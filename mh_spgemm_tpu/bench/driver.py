@@ -27,7 +27,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..baseline import oracle_spgemm, timed_oracle_spgemm
+from ..baseline import timed_oracle_spgemm
 from ..config import SpGEMMConfig
 from ..csr import CSR
 from ..io.mmio import extract_matrix_name, read_mtx

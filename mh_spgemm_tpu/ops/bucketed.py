@@ -26,12 +26,13 @@ segmented scan over sorted runs.
 
 Pipeline (per class, per chunk):
 
-1. scatter packed ``(dst<<31|src)`` / ``(dst<<31|len)`` descriptors at the
-   per-A-entry destination slots, ``cummax`` over the flat chunk -> every
-   slot knows its source B position without a searchsorted or repeat
-   (the two ``cummax`` passes replace ``jnp.repeat``'s per-element gather);
-2. gather B columns / values once each; broadcast A values down their
-   segments with a log-pass hold-scan (no gather);
+1. seed per-A-entry descriptors (src base, len, dst, a-value) at their
+   destination slots — entry-count-sized scatters — then ONE shared
+   row-local hold-scan broadcasts them down their segments: every slot
+   learns its source B position and A value in log2(W) vector passes
+   (replacing ``jnp.repeat``, searchsorted, and per-element descriptor
+   lookups);
+2. gather B columns / values once each (the only per-element gathers);
 3. one batched in-row sort by column; segmented sum over equal-column runs
    (the hash-accumulate analogue, ``inc/numeric.cuh:215-258``);
 4. a second batched in-row sort left-packs the surviving (column, value)
@@ -39,7 +40,9 @@ Pipeline (per class, per chunk):
    columns come out ascending per row, so no count/bitonic sort is needed.
 
 A final extraction program turns the left-packed class slabs into one CSR
-(gathers + one scatter at nnz(C) granularity).
+gather-ONLY: slab source addresses come from a delta-cumsum (no row
+lookup), the output is written contiguously, and only one i32 + one value
+gather remain per output nonzero.
 
 All shapes are static and quantized; in steady state (sizes cached in the
 plan) a full SpGEMM is TWO async dispatches and ONE host sync.
@@ -55,7 +58,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .shapes import quantize, quantize_pow2
+from .shapes import quantize
 
 _I32_MAX = np.int32(2**31 - 1)
 
