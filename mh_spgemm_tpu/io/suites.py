@@ -65,8 +65,11 @@ def suitesparse_root() -> Optional[str]:
 
 
 def load_matrix(name: str, allow_synthetic: bool = True) -> CSR:
-    """Resolve a suite name: real SuiteSparse .mtx if present, otherwise
-    the synthetic stand-in (seeded by the name for determinism)."""
+    """Resolve a suite name or .mtx path: an explicit path, a real
+    SuiteSparse file under ``$SUITESPARSE_ROOT``, or the synthetic
+    stand-in (seeded by the name for determinism)."""
+    if os.path.exists(name):
+        return read_mtx(name)
     root = suitesparse_root()
     if root:
         for cand in (os.path.join(root, name, f"{name}.mtx"),
