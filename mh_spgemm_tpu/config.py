@@ -33,18 +33,24 @@ class SpGEMMConfig:
 
     * ``value_dtype``   <-> ``VALUE_TYPE`` (default double).
     * ``aat``           <-> ``AAT`` (compute C = A @ A.T instead of A @ A).
-    * ``mode``          selects the numeric strategy; the reference has a
-      single hash-based numeric, we expose the TPU-native strategies:
-      - ``"esc"``:    fused expand-sort-compress (sort at column
-                      granularity; symbolic structure falls out of the same
-                      sort; the robust default).
-      - ``"masked"``: MH-style two-stage: tile-mask symbolic (sort at tile
-                      granularity + OR/popcount) then mask-guided numeric
-                      (segmented binary search into the known C structure +
-                      scatter-add; no column-granularity sort).
-    * ``adaptive``      <-> ``ADAPTIVE_GROUPING`` (TPU analogue: per-matrix
-      strategy auto-selection driven by the work estimate, see
-      ops/binning.py).
+    * ``mode``          selects the engine; the reference has a single
+      hash-based numeric, we expose the TPU-native strategies:
+      - ``"auto"``:       pick bucketed vs blockdense per matrix by a host
+                          cost model (pipeline.choose_engine).
+      - ``"bucketed"``:   the general performance engine — rows binned
+                          into fixed-width classes, batched in-row sorts,
+                          two gathers per product (ops/bucketed.py).
+      - ``"blockdense"``: MXU engine for dense-128x128-block matrices
+                          (ops/blockdense.py).
+      - ``"masked"``:     the MH-faithful two-stage pipeline: tile-mask
+                          symbolic (OR/popcount at tile granularity) then
+                          mask-guided numeric with closed-form popcount
+                          destination ranks (ops/mask.py, ops/symbolic.py,
+                          ops/numeric.py).
+      - ``"esc"``:        flat fused expand-sort-compress fallback.
+    * ``adaptive``      <-> ``ADAPTIVE_GROUPING`` (TPU analogue: the
+      engine/pass-count selection driven by the work estimate, see
+      ops/binning.py and pipeline.choose_engine).
     * ``check_result``  <-> ``CHECK_RESULT``.
     """
 

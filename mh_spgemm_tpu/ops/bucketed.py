@@ -149,8 +149,13 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         return BucketPlan(m=m, m_cap=quantize(max(1, m)), classes=classes,
                           intprod=intprod)
 
-    wclass = np.maximum(min_width,
-                        2 ** np.ceil(np.log2(p_row[active])).astype(np.int64))
+    # width grid: powers of two plus 1.5x intermediates (8,12,16,24,32,...)
+    # — halves worst-case slot padding (the dominant per-slot cost is the
+    # two gathers, paid on padded slots too) at the cost of ~2x classes
+    p = p_row[active]
+    pow2 = 2 ** np.ceil(np.log2(p)).astype(np.int64)
+    half = (3 * pow2) // 4                      # 1.5 * previous pow2
+    wclass = np.maximum(min_width, np.where(p <= half, half, pow2))
     max_blen = int(blens.max()) if blens.size else 1
     a_row_nnz = np.diff(a_ptr)
 
