@@ -277,15 +277,33 @@ def _seg_block_sum(vals: jax.Array, new: jax.Array, passes: int
 
 
 @functools.partial(jax.jit, static_argnames=("specs", "seg_passes", "m",
-                                              "pair_chunk"))
+                                              "pair_chunk", "use_pallas"))
 def blockdense_main(dev, a_dense, a_pat, b_dense, b_pat, *,
                     specs: tuple, seg_passes: int, m: int,
-                    pair_chunk: int):
+                    pair_chunk: int, use_pallas: bool = False):
     """Batched MXU matmuls over the pair stream + segmented block sums +
-    strip packing.  Returns (crow_nnz, cptr, total, strips)."""
+    strip packing.  Returns (crow_nnz, cptr, total, strips).
+
+    ``use_pallas`` (f32 on TPU): the fused Pallas pair-matmul kernel
+    (ops/pallas_gather.pair_matmul_f32) replaces the gather + batched
+    matmul + segmented-sum XLA passes — operands stream through VMEM and
+    the per-C-block accumulator never touches HBM, removing the
+    [npairs, BS, BS] intermediate entirely."""
     pair_a, pair_b = dev["pair_a"], dev["pair_b"]
     new = dev["pair_new"]
     npairs = pair_a.shape[0]
+
+    if use_pallas:
+        from .pallas_gather import pair_matmul_f32
+        ncb = int(dev["cb_j"].shape[0])
+        cb_of_pair = jnp.cumsum(new.astype(jnp.int32)) - 1
+        live = jnp.ones((npairs,), bool)
+        cvals = pair_matmul_f32(a_dense, b_dense, pair_a, pair_b,
+                                cb_of_pair, live, ncb=ncb)
+        cpats = pair_matmul_f32(a_pat, b_pat, pair_a, pair_b,
+                                cb_of_pair, live, ncb=ncb)
+        return _blockdense_strips(dev, cvals, cpats, specs, m,
+                                  by_end_pair=False)
 
     # pad the pair stream to a chunk multiple; padded pairs start their own
     # zero segments (new=True, operands=block 0 masked to zero via weight)
@@ -306,6 +324,7 @@ def blockdense_main(dev, a_dense, a_pat, b_dense, b_pat, *,
         bp = b_pat[pb]
         prod = jax.lax.dot_general(
             av, bv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=av.dtype)
         patp = jax.lax.dot_general(
             ap, bp, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -325,17 +344,22 @@ def blockdense_main(dev, a_dense, a_pat, b_dense, b_pat, *,
 
     vsum = _seg_block_sum(prod, new, seg_passes)
     psum = _seg_block_sum(pat, new, seg_passes)
+    return _blockdense_strips(dev, vsum, psum, specs, m, by_end_pair=True)
 
-    # strips: per class, take each block-row's C blocks directly at their
-    # segment-end pair positions (host-computed), lay them side by side,
-    # left-pack each row by structural-pattern rank
+
+def _blockdense_strips(dev, vsum, psum, specs, m: int, by_end_pair: bool):
+    """Per class, take each block-row's C blocks (at their segment-end
+    pair positions, or directly by C-block id when the fused Pallas path
+    already produced per-block accumulators), lay them side by side, and
+    left-pack each row by structural-pattern rank."""
     crow = jnp.zeros((m,), jnp.int32)
     strips = []
     total = jnp.zeros((), jnp.int64)
     cb_j = dev["cb_j"]
     for (nj, nrows_blk), (cb_idx, endp, rows0) in zip(specs, dev["strips"]):
         keepb = (cb_idx >= 0).astype(jnp.float32)[:, :, None, None]
-        safe_e = jnp.where(endp >= 0, endp, 0)
+        idx = endp if by_end_pair else cb_idx
+        safe_e = jnp.where(idx >= 0, idx, 0)
         vb = vsum[safe_e] * keepb.astype(vsum.dtype)   # [R, nj, BS, BS]
         pb = psum[safe_e] * keepb
         safe_c = jnp.where(cb_idx >= 0, cb_idx, 0)
@@ -395,10 +419,15 @@ def run_blockdense(plan: BlockPlan, a_val, b_val, pair_chunk: int = 512):
             d["b_blk"], d["b_pos"], b_val, nblk=plan.nbb)
     specs = tuple((s.nj, s.nrows_blk) for s in plan.strips)
     chunk = min(quantize(plan.npairs), pair_chunk)
+    # f32 on TPU: the fused Pallas pair-matmul path (64-bit types cannot
+    # cross the Mosaic custom-call boundary, so f64 stays on XLA's
+    # emulated-f64 batched matmul)
+    from .pallas_gather import _on_tpu
+    use_pallas = (_on_tpu() and d["a_dense"].dtype == jnp.float32)
     return blockdense_main(
         d, d["a_dense"], d["a_pat"], d["b_dense"], d["b_pat"],
         specs=specs, seg_passes=plan.seg_passes, m=plan.m,
-        pair_chunk=chunk)
+        pair_chunk=chunk, use_pallas=use_pallas)
 
 
 def finish_blockdense(plan: BlockPlan, main_out):

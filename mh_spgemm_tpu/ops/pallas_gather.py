@@ -75,3 +75,65 @@ def block_gather_any(table: jax.Array, idx: jax.Array) -> jax.Array:
         return jax.lax.bitcast_convert_type(
             out.reshape(idx.shape[0], b1, b2, 2), table.dtype)
     return block_gather(table, idx)
+
+
+def _pair_matmul_kernel(pa_ref, pb_ref, cb_ref, w_ref, a_ref, b_ref,
+                        out_ref, acc_ref):
+    """Fused pair-stream block matmul with in-VMEM segment accumulation:
+    pairs arrive sorted by destination C block; the output index map
+    revisits the same block for a whole segment, so the accumulator lives
+    in VMEM and the pipeline flushes it to HBM when cb changes — operand
+    fetch, MXU matmul and segment reduction in one kernel, zero
+    intermediate HBM traffic (vs. gather + batched-matmul + segmented-sum
+    as three XLA passes)."""
+    i = pl.program_id(0)
+    first = jnp.where(i == 0, True,
+                      cb_ref[i] != cb_ref[jnp.maximum(i - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[i].astype(jnp.float32)
+    acc_ref[...] += w * jnp.dot(a_ref[0], b_ref[0],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("ncb", "interpret"))
+def pair_matmul_f32(a_dense, b_dense, pair_a, pair_b, pair_cb, live,
+                    ncb: int, interpret: bool = False):
+    """All-pairs ``A[pa[g]] @ B[pb[g]]`` accumulated per C block (f32).
+
+    ``pair_cb`` must be nondecreasing (pairs sorted by C block); ``live``
+    masks padding pairs.  Returns [ncb, BS, BS] accumulated blocks.
+    f32 only: 64-bit types cannot cross the Mosaic custom-call boundary
+    (the f64 path uses XLA batched matmuls instead).
+    """
+    G = pair_a.shape[0]
+    _, b1, b2 = a_dense.shape
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,       # pa, pb, cb, live — scalars first
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, b1, b1),
+                         lambda i, pa, pb, cb, w: (pa[i], z, z)),
+            pl.BlockSpec((1, b1, b2),
+                         lambda i, pa, pb, cb, w: (pb[i], z, z)),
+        ],
+        out_specs=pl.BlockSpec((1, b1, b2),
+                               lambda i, pa, pb, cb, w: (cb[i], z, z)),
+        scratch_shapes=[pltpu.VMEM((b1, b2), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _pair_matmul_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ncb, b1, b2), jnp.float32),
+        # the grid walks segments in order and revisits output blocks:
+        # the dimension must be sequential ("arbitrary"), not parallel
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pair_a, pair_b, pair_cb, live.astype(jnp.int32), a_dense, b_dense)
