@@ -8,10 +8,13 @@ XLA's ``jnp.take(table, idx, axis=0)`` on the same block table runs at
 0.014 ns/element (0.9 ms vs 6.9 ms): when the gathered rows are whole
 contiguous 64 KB blocks, XLA already emits bandwidth-rate dynamic DMAs,
 and the Mosaic grid's ~1.7 us/step overhead dominates.  The block-dense
-engine therefore uses plain ``take`` (ops/blockdense.py); this kernel is
-kept as the measured baseline and for the distributed path, where the
-same index-map pattern extends to ``make_async_remote_copy`` fetches XLA
-cannot express.  Benchmark: scripts/proto_ragged.py, scripts/micro2.py.
+engine therefore uses plain ``take`` for standalone gathers; the place a
+Pallas kernel WINS is fusion: :func:`pair_matmul_f32` streams operand
+blocks through VMEM, runs the MXU matmul, and accumulates per C block in
+VMEM scratch — removing the [npairs, 128, 128] HBM intermediate that the
+XLA gather + batched-matmul + segmented-sum pipeline materialises.  It
+drives the f32 block-dense path (ops/blockdense.py).  Benchmarks:
+scripts/proto_ragged.py, scripts/micro2.py.
 """
 
 from __future__ import annotations

@@ -320,7 +320,8 @@ def spgemm_blockdense(A: CSR, B: CSR,
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
             plan = blockdense_ops.plan_blockdense(
-                A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N)
+                A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
+                max_pairs=_pair_budget(config))
             require(plan is not None, SpGEMMError,
                     "block-dense plan infeasible (empty or >int32 slab); "
                     "use mode='bucketed'")
@@ -346,6 +347,15 @@ def spgemm_blockdense(A: CSR, B: CSR,
     return C, state
 
 
+def _pair_budget(config: SpGEMMConfig) -> int:
+    """Block-pair budget: the f32 path runs the fused Pallas pair-matmul
+    with no [npairs, BS, BS] HBM intermediate, so it affords a much larger
+    stream than the f64 XLA path (which materialises it)."""
+    import jax.numpy as _jnp
+    return (1 << 18) if _jnp.dtype(config.vdtype) == _jnp.float32 \
+        else 16384
+
+
 def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
     """Adaptive engine selection — the TPU re-interpretation of the
     reference's adaptive grouping (``inc/Calculate_C_nnz.cuh:47-87``):
@@ -353,7 +363,8 @@ def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
     host-side cost estimate of the MXU block-dense path against the
     bucketed engine's measured ~31 ns/product."""
     plan = blockdense_ops.plan_blockdense(
-        A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N)
+        A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
+        max_pairs=_pair_budget(config))
     intprod = A.intprod(B)
     esc_s = intprod * 31e-9
     mxu_s = blockdense_ops.blockdense_cost(plan, config.vdtype)
