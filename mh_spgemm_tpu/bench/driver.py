@@ -185,11 +185,15 @@ def main(argv=None) -> int:
     p.add_argument("--stats", action="store_true",
                    help="print engine occupancy counters (the "
                         "HASH_CONFLICT-counter analogue)")
+    p.add_argument("--profile", action="store_true",
+                   help="fence every phase for exact attribution "
+                        "(adds ~35 ms/fence on this transport)")
     args = p.parse_args(argv)
 
     tol = 1e-9 if args.dtype == "float64" else 1e-4
     config = SpGEMMConfig(mode=args.mode, value_dtype=args.dtype,
-                          aat=args.aat, tolerance=tol)
+                          aat=args.aat, tolerance=tol,
+                          profile=args.profile)
 
     from ..io import suites
     names = suites.SIXTEEN_MATRICES if args.suite else [args.matrix]

@@ -59,6 +59,11 @@ class SpGEMMConfig:
     aat: bool = False
     adaptive: bool = True
     check_result: bool = False
+    # Per-phase device fences for attribution (the reference brackets every
+    # phase with cudaDeviceSynchronize; on this transport each fence costs
+    # ~35 ms, so the default times end-to-end with ONE fence and profile
+    # mode opts into exact per-phase splits).
+    profile: bool = False
     # Numeric tolerance of the result comparator (reference src/CSR.cu:60).
     tolerance: float = 1e-9
     # Bucket boundaries for row binning by work estimate (TPU analogue of

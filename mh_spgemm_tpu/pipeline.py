@@ -285,6 +285,8 @@ def spgemm_bucketed(A: CSR, B: CSR,
     with PhaseTimer.phase(timing, "calculate_c_nnz"):
         main_out = bucketed_ops.run_bucketed(plan, state.a_val,
                                              state.b_col, state.b_val)
+        if config.profile:
+            _fence(main_out[1])        # split main vs extraction exactly
 
     # first run only: one small totals fetch fixes output capacities
     with PhaseTimer.phase(timing, "malloc_c_col_val"):
@@ -335,6 +337,8 @@ def spgemm_blockdense(A: CSR, B: CSR,
 
     with PhaseTimer.phase(timing, "calculate_c_nnz"):
         main_out = blockdense_ops.run_blockdense(plan, a_val, b_val)
+        if config.profile:
+            _fence(main_out[1])        # split matmul+strips vs extraction
 
     with PhaseTimer.phase(timing, "malloc_c_col_val"):
         cptr, ccol, cval = blockdense_ops.finish_blockdense(plan, main_out)
