@@ -39,7 +39,8 @@ from .csr import CSR, DeviceCSR                           # noqa: E402
 from .errors import (DeviceError, MatrixFormatError,      # noqa: E402
                      ShapeMismatchError, SpGEMMError, VerificationError)
 from .baseline import oracle_spgemm, timed_oracle_spgemm, verify  # noqa: E402
-from .pipeline import SpGEMMPlan, make_plan, spgemm, spgemm_host  # noqa: E402
+from .pipeline import (SpGEMMPlan, make_plan, spgemm,  # noqa: E402
+                       spgemm_chunked, spgemm_host)
 from .timing import Timing, gflops                        # noqa: E402
 from .io.mmio import extract_matrix_name, read_mtx, write_mtx  # noqa: E402
 
@@ -47,7 +48,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CSR", "DeviceCSR", "SpGEMMConfig", "DEFAULT_CONFIG",
-    "SpGEMMPlan", "make_plan", "spgemm", "spgemm_host",
+    "SpGEMMPlan", "make_plan", "spgemm", "spgemm_chunked",
+    "spgemm_host",
     "oracle_spgemm", "timed_oracle_spgemm", "verify",
     "Timing", "gflops",
     "read_mtx", "write_mtx", "extract_matrix_name",

@@ -375,6 +375,49 @@ def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
     return "blockdense" if mxu_s < esc_s else "bucketed"
 
 
+def spgemm_chunked(A: CSR, B: CSR,
+                   config: SpGEMMConfig = DEFAULT_CONFIG,
+                   timing: Optional[Timing] = None,
+                   max_products: int = 1 << 30) -> CSR:
+    """Row-chunked bucketed SpGEMM for product streams past the int32 /
+    HBM budget: split A into row ranges whose intermediate-product count
+    fits ``max_products``, run each range through the bucketed engine,
+    and concatenate the CSR pieces — the single-chip analogue of the
+    dense-row fallback chain (SURVEY.md §5.7) at whole-pipeline scale.
+    """
+    require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
+    timing = timing if timing is not None else Timing()
+    blens = np.diff(B.ptr).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(blens[A.col])])
+    p_cum = cs[A.ptr]                      # products before each row
+    bounds = [0]
+    while bounds[-1] < A.M:
+        lo = bounds[-1]
+        hi = int(np.searchsorted(p_cum, p_cum[lo] + max_products,
+                                 side="right")) - 1
+        bounds.append(max(hi, lo + 1))     # always advance >= one row
+    ptrs, cols, vals = [np.zeros(1, np.int32)], [], []
+    base = 0
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        sub = CSR(M=hi - lo, N=A.N,
+                  ptr=(A.ptr[lo:hi + 1] - A.ptr[lo]).astype(np.int32),
+                  col=A.col[A.ptr[lo]:A.ptr[hi]],
+                  val=A.val[A.ptr[lo]:A.ptr[hi]])
+        Cd, _ = spgemm_bucketed(sub, B, config=config, timing=timing)
+        Cp = Cd.host()
+        ptrs.append(Cp.ptr[1:].astype(np.int64) + base)
+        cols.append(Cp.col)
+        vals.append(Cp.val)
+        base += Cp.nnz
+    require(base < 2**31, SpGEMMError, "nnz(C) exceeds int32")
+    return CSR(M=A.M, N=B.N,
+               ptr=np.concatenate(ptrs).astype(np.int32),
+               col=(np.concatenate(cols) if cols else
+                    np.zeros(0, np.int32)),
+               val=(np.concatenate(vals) if vals else
+                    np.zeros(0, A.val.dtype)))
+
+
 def spgemm_host(A: CSR, B: Optional[CSR] = None,
                 config: SpGEMMConfig = DEFAULT_CONFIG,
                 timing: Optional[Timing] = None) -> CSR:
@@ -388,7 +431,11 @@ def spgemm_host(A: CSR, B: Optional[CSR] = None,
     if mode == "auto":
         mode = choose_engine(A, B, config)
     if mode == "bucketed":
-        C, _ = spgemm_bucketed(A, B, config=config, timing=timing)
+        try:
+            C, _ = spgemm_bucketed(A, B, config=config, timing=timing)
+        except ValueError:
+            # stream past the int32/HBM budget: row-chunked fallback
+            return spgemm_chunked(A, B, config=config, timing=timing)
         return C.host()
     if mode == "blockdense":
         C, _ = spgemm_blockdense(A, B, config=config, timing=timing)

@@ -117,3 +117,21 @@ def test_fuzz_rect(seed):
                      rng.integers(0, n, nnz_b),
                      rng.standard_normal(nnz_b), sum_duplicates=True)
     _check(A, B, min_bucket_width=8)
+
+
+def test_chunked_matches_whole():
+    """Row-chunked fallback (tiny product budget forces many chunks)."""
+    from mh_spgemm_tpu.pipeline import spgemm_chunked
+    A = gen.powerlaw(300, avg_nnz=5, seed=13)
+    C = spgemm_chunked(A, A, max_products=500)
+    assert verify(C, oracle_spgemm(A, A), raise_on_fail=False)
+
+
+def test_chunked_single_huge_row():
+    from mh_spgemm_tpu.pipeline import spgemm_chunked
+    rng = np.random.default_rng(4)
+    A = CSR.from_coo(50, 50, np.zeros(40, np.int64),
+                     rng.choice(50, 40, replace=False),
+                     rng.standard_normal(40), sum_duplicates=True)
+    C = spgemm_chunked(A, A, max_products=8)  # every chunk over budget
+    assert verify(C, oracle_spgemm(A, A), raise_on_fail=False)
