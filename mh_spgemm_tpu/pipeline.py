@@ -1,24 +1,27 @@
-"""Pipeline driver: the TPU equivalent of ``MH_spgemm()``
+"""Pipeline drivers: the TPU equivalent of ``MH_spgemm()``
 (``src/main.cu:12-72``) plus the workspace manager (``Tool``,
 ``src/Tool.cu:4-73``).
 
-Phases (same seven-phase accounting as the reference's ``Timing``):
+Engines (see config.SpGEMMConfig.mode):
 
-1. mem_alloc            — plan lookup / value-dtype cast of operands.
-2. Form_mask_matrix_B   — ONE fused program: tile counts, mask compaction,
-                          flop upper bound, exact flops (excluded from the
-                          SpGEMM total, like the reference —
-                          src/Timing.cpp:39-42).
-3. symbolic_binning     — host: quantize the T' readback to the capacity
-                          grid (the TPU analogue of picking a bin: it
-                          selects which compiled program runs).
-4. Calculate_C_nnz      — tile-granularity sort + segmented OR + popcount.
-5. Malloc_C_col_val     — nnz(C)/tile-count readback + capacity selection
-                          (the host-device sync the reference also pays,
-                          src/main.cu:56).
-6. numeric_binning      — host: numeric capacity selection.
-7. Numeric              — fused C-structure expansion + mask-guided
-                          scatter accumulation (or fused ESC).
+* :func:`spgemm_bucketed`   — the default performance engine
+  (ops/bucketed.py); steady state = two async dispatches + one sync.
+* :func:`spgemm_blockdense` — the MXU engine (ops/blockdense.py).
+* :func:`choose_engine`     — adaptive per-matrix dispatch between them.
+* :func:`spgemm` / :func:`_spgemm_masked` / :func:`_spgemm_esc` — the
+  MH-faithful masked two-stage pipeline and the flat ESC fallback, with
+  the reference's seven-phase accounting:
+
+  1. mem_alloc, 2. Form_mask_matrix_B (excluded from total like the
+  reference, src/Timing.cpp:39-42), 3. symbolic_binning (capacity
+  selection = bin pick), 4. Calculate_C_nnz (tile-granularity sort +
+  segmented OR + popcount), 5. Malloc_C_col_val (nnz readback),
+  6. numeric_binning, 7. Numeric (mask-guided accumulate / fused ESC).
+
+* :func:`spgemm_chunked`    — row-chunked execution for streams past the
+  int32/HBM budget.
+* :func:`spgemm_host`       — CSR-in/CSR-out convenience with engine
+  routing and automatic chunked fallback.
 
 Every host-read size is quantized (ops/shapes.py) before becoming a jit
 static, so different matrices share compiled programs — the TPU analogue of
