@@ -78,6 +78,10 @@ class SpGEMMConfig:
     # short rows, and narrow batched sorts are nearly free (scripts/micro2).
     min_bucket_width: int = 8
     bucket_area_cap: int = 1 << 23
+    # The masked (MH-faithful) engine materialises product-granularity
+    # streams; cap them to stay within HBM (~21 GB observed at 29M on
+    # v5e) — larger streams belong to the bucketed engine.
+    masked_max_products: int = 16_000_000
 
     @property
     def vdtype(self):

@@ -147,6 +147,13 @@ def _spgemm_masked(A: DeviceCSR, B: DeviceCSR, config: SpGEMMConfig,
             require(plan.intprod < _INT32_MAX, SpGEMMError,
                     "product stream exceeds int32; use the chunked "
                     "pipeline")
+            # the masked numeric materialises several product-granularity
+            # arrays; past this budget it would exhaust HBM — the
+            # bucketed engine is the production path for large streams
+            require(plan.intprod <= config.masked_max_products,
+                    SpGEMMError,
+                    f"product stream {plan.intprod} exceeds the masked "
+                    "engine's memory budget; use mode='bucketed'/'auto'")
 
     if plan.t_prime == 0:
         return _empty_c(A, B, config)
