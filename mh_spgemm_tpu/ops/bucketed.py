@@ -199,10 +199,11 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         ent_aidx = np.zeros(shape, dtype=np.int32)
         within = np.arange(ent_e.size, dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(ecnt)[:-1]]), ecnt)
-        ent_dst[chunk, within] = dst.astype(np.int32)
-        ent_src[chunk, within] = b_ptr[a_col[ent_e]].astype(np.int32)
-        ent_len[chunk, within] = pe.astype(np.int32)
-        ent_aidx[chunk, within] = ent_e.astype(np.int32)
+        flat = chunk * eb + within        # one flat index, 1-D stores
+        ent_dst.ravel()[flat] = dst.astype(np.int32)
+        ent_src.ravel()[flat] = b_ptr[a_col[ent_e]].astype(np.int32)
+        ent_len.ravel()[flat] = pe.astype(np.int32)
+        ent_aidx.ravel()[flat] = ent_e.astype(np.int32)
 
         classes.append(ClassPlan(
             W=int(W), rb=rb, nchunks=nchunks, eb=eb,
