@@ -158,6 +158,12 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     wclass = np.maximum(min_width, np.where(p <= half, half, pow2))
     max_blen = int(blens.max()) if blens.size else 1
     a_row_nnz = np.diff(a_ptr)
+    # per-row count of entries referencing NONEMPTY B rows (descriptor
+    # counts; used by the native builder's capacity sizing)
+    vcs = np.concatenate([[0], np.cumsum(p_ent > 0)])
+    row_vcnt = (vcs[a_ptr[1:]] - vcs[a_ptr[:-1]]).astype(np.int64)
+
+    from ..utils import native as native_lib
 
     for W in sorted(set(int(w) for w in np.unique(wclass))):
         rows_c = active[wclass == int(W)]                   # original order
@@ -169,7 +175,25 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         rows_pad[: rows_c.size] = rows_c
 
         # per-entry descriptors (drop empty B-row references: they advance
-        # nothing and would collide at the next entry's dst slot)
+        # nothing and would collide at the next entry's dst slot) — via the
+        # native C++ builder when available (one fused OpenMP pass), else
+        # the vectorized numpy path below
+        vc = row_vcnt[rows_c]
+        ecnt_max = int(np.max(np.add.reduceat(
+            np.concatenate([vc, np.zeros(nchunks * rb - vc.size,
+                                         np.int64)]),
+            np.arange(0, nchunks * rb, rb)))) if vc.size else 0
+        eb_n = quantize(max(1, ecnt_max))
+        ent = native_lib.bucket_entries(a_ptr, a_col, b_ptr, rows_c,
+                                        rb, int(W), eb_n, nchunks)
+        if ent is not None:
+            classes.append(ClassPlan(
+                W=int(W), rb=rb, nchunks=nchunks, eb=eb_n,
+                rows_g=rows_pad.reshape(nchunks, rb),
+                ent_dst=ent[0], ent_src=ent[1], ent_len=ent[2],
+                ent_aidx=ent[3],
+                hold_passes=_log2_bound(W), seg_passes=_log2_bound(W)))
+            continue
         cnt = a_row_nnz[rows_c].astype(np.int64)
         local_row = np.repeat(np.arange(rows_c.size, dtype=np.int64), cnt)
         starts = a_ptr[rows_c].astype(np.int64)

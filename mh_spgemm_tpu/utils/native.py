@@ -50,6 +50,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mh_intprod.argtypes = [
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_longlong, ctypes.POINTER(ctypes.c_int)]
+        ip = ctypes.POINTER(ctypes.c_int32)
+        lib.mh_bucket_entries.restype = ctypes.c_longlong
+        lib.mh_bucket_entries.argtypes = [
+            ip, ip, ip, ip, ctypes.c_longlong, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ip, ip, ip, ip]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -86,6 +91,37 @@ def parse_mtx_body(path: str, is_pattern: bool, is_complex: bool
     lib.mh_free(pcols)
     lib.mh_free(pvals)
     return M, N, rows, cols, vals
+
+
+def bucket_entries(a_ptr: np.ndarray, a_col: np.ndarray,
+                   b_ptr: np.ndarray, rows: np.ndarray, rb: int, w: int,
+                   eb: int, nchunks: int) -> Optional[tuple]:
+    """Native bucket-plan descriptor builder (one fused OpenMP pass over
+    the class's A entries).  Returns (ent_dst, ent_src, ent_len,
+    ent_aidx) shaped [nchunks, eb], or None when the lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    ip = ctypes.POINTER(ctypes.c_int32)
+
+    def as32(x):
+        return np.ascontiguousarray(x, dtype=np.int32)
+
+    a_ptr, a_col, b_ptr, rows = map(as32, (a_ptr, a_col, b_ptr, rows))
+    shape = (nchunks, eb)
+    ent_dst = np.full(shape, rb * w, dtype=np.int32)
+    ent_src = np.zeros(shape, dtype=np.int32)
+    ent_len = np.zeros(shape, dtype=np.int32)
+    ent_aidx = np.zeros(shape, dtype=np.int32)
+    rc = lib.mh_bucket_entries(
+        a_ptr.ctypes.data_as(ip), a_col.ctypes.data_as(ip),
+        b_ptr.ctypes.data_as(ip), rows.ctypes.data_as(ip),
+        len(rows), rb, w, eb,
+        ent_dst.ctypes.data_as(ip), ent_src.ctypes.data_as(ip),
+        ent_len.ctypes.data_as(ip), ent_aidx.ctypes.data_as(ip))
+    if rc != 0:
+        return None
+    return ent_dst, ent_src, ent_len, ent_aidx
 
 
 def intprod(a_col: np.ndarray, b_ptr: np.ndarray) -> Optional[int]:

@@ -80,3 +80,22 @@ def test_exclusive_scan_and_transpose():
     np.testing.assert_array_equal(t_ptr, T.ptr)
     np.testing.assert_array_equal(t_col, T.col)
     np.testing.assert_allclose(t_val, T.val)
+
+
+def test_bucket_entries_matches_numpy(monkeypatch):
+    """The native descriptor builder must produce exactly the numpy plan."""
+    from mh_spgemm_tpu.bench import gen
+    from mh_spgemm_tpu.ops import bucketed
+
+    A = gen.powerlaw(400, avg_nnz=6, seed=31)
+    plan_native = bucketed.plan_buckets(A.ptr, A.col, A.ptr, min_width=8)
+    monkeypatch.setattr(native, "bucket_entries", lambda *a, **k: None)
+    plan_np = bucketed.plan_buckets(A.ptr, A.col, A.ptr, min_width=8)
+    assert len(plan_native.classes) == len(plan_np.classes)
+    for cn, cp in zip(plan_native.classes, plan_np.classes):
+        assert cn.W == cp.W and cn.rb == cp.rb and cn.eb == cp.eb
+        np.testing.assert_array_equal(cn.rows_g, cp.rows_g)
+        np.testing.assert_array_equal(cn.ent_dst, cp.ent_dst)
+        np.testing.assert_array_equal(cn.ent_src, cp.ent_src)
+        np.testing.assert_array_equal(cn.ent_len, cp.ent_len)
+        np.testing.assert_array_equal(cn.ent_aidx, cp.ent_aidx)
