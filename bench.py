@@ -74,6 +74,7 @@ def main() -> int:
                 "gflops": round(res.gflops, 3),
                 "oracle_gflops": round(o_gf, 3),
                 "nnz_c": res.nnz_c,
+                "nnzc_per_s": round(res.nnzc_per_s, 1),
                 "total_ms": round(res.timing.total(), 3),
                 "oracle_ms": round(oracle_ms, 3),
             }
