@@ -120,13 +120,15 @@ def _try_native_parse(path, is_pattern, is_complex):
 
 
 def write_mtx(path: str, A: CSR) -> None:
-    """Write a CSR matrix as coordinate real general .mtx."""
+    """Write a CSR matrix as coordinate real general .mtx (vectorized:
+    one formatted block write instead of a per-entry Python loop)."""
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{A.M} {A.N} {A.nnz}\n")
         rows = np.repeat(np.arange(A.M), np.diff(A.ptr))
-        for r, c, v in zip(rows, A.col, A.val):
-            f.write(f"{r + 1} {c + 1} {v:.17g}\n")
+        np.savetxt(f, np.column_stack(
+            [rows + 1, np.asarray(A.col) + 1, np.asarray(A.val)]),
+            fmt="%d %d %.17g")
 
 
 def extract_matrix_name(path: str) -> str:

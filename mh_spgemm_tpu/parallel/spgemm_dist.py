@@ -54,7 +54,9 @@ def partition_rows(A: CSR, n_shards: int, value_dtype=None) -> RowPartition:
     R = -(-A.M // n_shards)
     caps = []
     for d in range(n_shards):
-        lo, hi = d * R, min((d + 1) * R, A.M)
+        # trailing shards can own ZERO rows when (D-1)*ceil(M/D) >= M
+        # (e.g. M=9, D=8): clamp lo too, never index A.ptr past M
+        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
         caps.append(int(A.ptr[hi] - A.ptr[lo]) if hi > lo else 0)
     cap = max(1, max(caps))
     ptr = np.zeros((n_shards, R + 1), dtype=np.int32)
@@ -62,12 +64,14 @@ def partition_rows(A: CSR, n_shards: int, value_dtype=None) -> RowPartition:
     val = np.zeros((n_shards, cap), dtype=value_dtype or A.val.dtype)
     nnz = np.zeros((n_shards,), dtype=np.int32)
     for d in range(n_shards):
-        lo, hi = d * R, min((d + 1) * R, A.M)
+        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        if hi <= lo:
+            continue                       # empty shard: all-zero block
         base = A.ptr[lo]
         local = A.ptr[lo:hi + 1] - base
         ptr[d, :hi - lo + 1] = local
-        ptr[d, hi - lo + 1:] = local[-1] if hi > lo else 0
-        k = int(local[-1]) if hi > lo else 0
+        ptr[d, hi - lo + 1:] = local[-1]
+        k = int(local[-1])
         col[d, :k] = A.col[base:base + k]
         val[d, :k] = A.val[base:base + k]
         nnz[d] = k
@@ -176,10 +180,13 @@ def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
         for s in range(D):
             sel = np.flatnonzero(src == s)
             rows = nd[sel]
+            if rows.size == 0:
+                continue   # nothing owned by s is needed (or s is empty)
             lens = blens[rows]
             recv_len[d, sel] = lens.astype(np.int32)
             if s == d:
                 # local rows: direct offsets into the local padded block
+                # (s*RB <= rows.min() < B.M here since rows is nonempty)
                 recv_start[d, sel] = (B.ptr[rows]
                                       - B.ptr[s * RB]).astype(np.int32)
                 continue
@@ -240,7 +247,7 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
     per_nnz = blens[A.col]
     caps = []
     for d in range(D):
-        lo, hi = d * R, min((d + 1) * R, A.M)
+        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
         caps.append(int(per_nnz[A.ptr[lo]:A.ptr[hi]].sum())
                     if hi > lo else 0)
     total = max(1, max(caps))

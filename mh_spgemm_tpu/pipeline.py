@@ -85,13 +85,14 @@ def spgemm(A: DeviceCSR, B: DeviceCSR,
     timing = timing if timing is not None else Timing()
     if config.mode == "masked":
         return _spgemm_masked(A, B, config, timing, plan)
-    elif config.mode == "esc":
+    if config.mode == "esc":
         return _spgemm_esc(A, B, config, timing, plan)
     if config.mode in ("bucketed", "blockdense", "auto"):
-        raise SpGEMMError(
-            f"mode {config.mode!r} plans from host CSR data — call "
-            "spgemm_host / spgemm_bucketed / spgemm_blockdense instead of "
-            "the DeviceCSR-level spgemm()")
+        # these engines plan from host CSR data (spgemm_host routes them);
+        # at the DeviceCSR level serve the request with the fused ESC
+        # engine, which needs only the device arrays — so spgemm(dA, dB)
+        # works under DEFAULT_CONFIG instead of raising
+        return _spgemm_esc(A, B, config, timing, plan)
     raise SpGEMMError(f"unknown mode {config.mode!r}")
 
 
@@ -388,33 +389,60 @@ def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
 def spgemm_chunked(A: CSR, B: CSR,
                    config: SpGEMMConfig = DEFAULT_CONFIG,
                    timing: Optional[Timing] = None,
-                   max_products: int = 1 << 30) -> CSR:
+                   max_products: int = 1 << 28) -> CSR:
     """Row-chunked bucketed SpGEMM for product streams past the int32 /
     HBM budget: split A into row ranges whose intermediate-product count
     fits ``max_products``, run each range through the bucketed engine,
     and concatenate the CSR pieces — the single-chip analogue of the
     dense-row fallback chain (SURVEY.md §5.7) at whole-pipeline scale.
+
+    The bucket planner's int32 guard is on the PADDED slab area (class
+    padding can exceed the raw product count by >2x), so a chunk chosen
+    by raw count can still overflow: such chunks are retried at half the
+    budget rather than propagating the planner's ValueError.  The default
+    budget is HBM-informed (2^28 products -> ~1.3x padded slab of keys +
+    f64 values + sort buffers stays well under a v5e's 16 GB).
     """
     require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
     timing = timing if timing is not None else Timing()
     blens = np.diff(B.ptr).astype(np.int64)
     cs = np.concatenate([[0], np.cumsum(blens[A.col])])
     p_cum = cs[A.ptr]                      # products before each row
+
+    def _run_range(lo: int, hi: int, budget: int, out: list) -> None:
+        """Run rows [lo, hi); on planner overflow split the range by
+        product count and recurse with half the budget."""
+        sub = CSR(M=hi - lo, N=A.N,
+                  ptr=(A.ptr[lo:hi + 1] - A.ptr[lo]).astype(np.int32),
+                  col=A.col[A.ptr[lo]:A.ptr[hi]],
+                  val=A.val[A.ptr[lo]:A.ptr[hi]])
+        try:
+            Cd, _ = spgemm_bucketed(sub, B, config=config, timing=timing)
+        except ValueError:
+            require(hi - lo > 1, SpGEMMError,
+                    "a single row's padded product slab exceeds the "
+                    "int32/HBM budget; shard the matrix instead")
+            mid = int(np.searchsorted(
+                p_cum, p_cum[lo] + max(1, budget // 2),
+                side="right")) - 1
+            mid = min(max(mid, lo + 1), hi - 1)
+            _run_range(lo, mid, budget // 2, out)
+            _run_range(mid, hi, budget // 2, out)
+            return
+        out.append(Cd.host())
+
     bounds = [0]
     while bounds[-1] < A.M:
         lo = bounds[-1]
         hi = int(np.searchsorted(p_cum, p_cum[lo] + max_products,
                                  side="right")) - 1
         bounds.append(max(hi, lo + 1))     # always advance >= one row
+    pieces: list = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        _run_range(lo, hi, max_products, pieces)
     ptrs, cols, vals = [np.zeros(1, np.int32)], [], []
     base = 0
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        sub = CSR(M=hi - lo, N=A.N,
-                  ptr=(A.ptr[lo:hi + 1] - A.ptr[lo]).astype(np.int32),
-                  col=A.col[A.ptr[lo]:A.ptr[hi]],
-                  val=A.val[A.ptr[lo]:A.ptr[hi]])
-        Cd, _ = spgemm_bucketed(sub, B, config=config, timing=timing)
-        Cp = Cd.host()
+    for Cp in pieces:
         ptrs.append(Cp.ptr[1:].astype(np.int64) + base)
         cols.append(Cp.col)
         vals.append(Cp.val)

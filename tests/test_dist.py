@@ -116,3 +116,15 @@ def test_dist_state_reuse():
         C = spgemm_dist(A, None, mesh, b_strategy="ragged", state=st)
         assert C.equals(ref, tol=1e-9)
     assert st.get("fn") is not None
+
+
+@pytest.mark.parametrize("strategy", ["replicate", "allgather", "ragged"])
+def test_dist_empty_trailing_shards(strategy):
+    """M=9 with D=8 -> ceil(9/8)=2 rows/shard, shards 5..7 own ZERO rows.
+
+    Regression: partition_rows/plan_ragged_fetch used to index
+    A.ptr[d*R] / B.ptr[s*RB] past the end for those shards (ADVICE.md)."""
+    mesh = _mesh(8)
+    A = gen.random_uniform(9, nnz_per_row=3, seed=77)
+    C = spgemm_dist(A, None, mesh, b_strategy=strategy)
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)

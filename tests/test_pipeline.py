@@ -128,3 +128,34 @@ def test_modes_agree():
     C1 = spgemm_host(A, config=SpGEMMConfig(mode="masked"))
     C2 = spgemm_host(A, config=SpGEMMConfig(mode="esc"))
     assert C1.equals(C2, tol=1e-12)
+
+
+def test_device_spgemm_default_config():
+    """spgemm(dA, dB) must work under DEFAULT_CONFIG (host-planned modes
+    are served by the fused ESC device engine; regression for ADVICE.md)."""
+    from mh_spgemm_tpu import DEFAULT_CONFIG
+    from mh_spgemm_tpu.pipeline import spgemm as device_spgemm
+    A = gen.banded(60, band=5, nnz_per_row=4, seed=41)
+    dA = A.device(DEFAULT_CONFIG.vdtype, pad=True)
+    C = device_spgemm(dA, dA)
+    assert C.host().equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_chunked_retries_on_planner_overflow(monkeypatch):
+    """A chunk under the raw-product budget whose PADDED slab overflows
+    must be split and retried, not crash (ADVICE.md medium)."""
+    import mh_spgemm_tpu.pipeline as pl_mod
+    A = gen.random_uniform(128, nnz_per_row=4, seed=55)
+    real = pl_mod.spgemm_bucketed
+    calls = {"n": 0}
+
+    def flaky(sub, B, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1 and sub.M > 32:
+            raise ValueError("padded slab area exceeds int32 (simulated)")
+        return real(sub, B, **kw)
+
+    monkeypatch.setattr(pl_mod, "spgemm_bucketed", flaky)
+    C = pl_mod.spgemm_chunked(A, A, max_products=1 << 20)
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+    assert calls["n"] >= 3      # the failed chunk re-ran as two halves
