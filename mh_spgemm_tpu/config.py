@@ -82,6 +82,11 @@ class SpGEMMConfig:
     # streams; cap them to stay within HBM (~21 GB observed at 29M on
     # v5e) — larger streams belong to the bucketed engine.
     masked_max_products: int = 16_000_000
+    # Mosaic ragged-fill expansion (ops/ragged_fill.py): "auto" lets the
+    # planner pick it per row class by measured cost model (TPU only),
+    # "on" forces it, "off" keeps the XLA gather expansion,
+    # "interpret" forces it in Pallas interpreter mode (CPU tests).
+    dma_fill: str = "auto"
 
     @property
     def vdtype(self):

@@ -58,9 +58,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import ragged_fill as rf
 from .shapes import quantize
 
 _I32_MAX = np.int32(2**31 - 1)
+
+# Measured v5e constants driving the per-class fill-vs-gather choice
+# (scripts/micro2.py, micro3.py): XLA expansion ~26-27 ns/slot warm
+# (two per-element gathers); the Mosaic fill costs ~1.7 us per grid
+# step, ~0.4 us per run (scalar setup + block walk), and ~2 ns/slot of
+# vector work.  The planner compares the two estimates per class.
+_GATHER_NS_PER_SLOT = 26.0
+_FILL_STEP_US = 1.7
+_FILL_RUN_US = 0.4
+_FILL_NS_PER_SLOT = 2.0
+_FILL_MIN_SPAN_WORDS = 16      # don't even attempt fill below this
+_FILL_WORDS_CAP = 3 << 18      # chunk slab3 words (VMEM-resident, ~3 MB)
+_FILL_EPG = 256                # runs per grid step (descriptor block)
+# The pairs stream is prepended with this many zero words and every
+# window starts one row early with src_rel biased by +128: together they
+# guarantee the kernel's window-row index (d0 + or_) is never negative —
+# pl.ds would otherwise clamp a negative start and shift the whole
+# [8, 128] block read (bias >= max window stride SW = 64*128).
+_FILL_BIAS_WORDS = 8192
 
 
 # ---------------------------------------------------------------------------
@@ -83,11 +103,21 @@ class ClassPlan:
     ent_aidx: np.ndarray   # int32[nchunks, eb]   index into a_val
     hold_passes: int       # log2 bound on B-segment length within a row
     seg_passes: int        # log2 bound on same-column run length
+    # Mosaic ragged-fill expansion (ops/ragged_fill.py) — populated when
+    # the plan-time cost model picks the DMA path for this class:
+    fill: bool = False
+    stride: int = 0                       # i32 words per B nonzero
+    wrows: int = 0                        # source window rows per step
+    out_rows: int = 0                     # slab3 rows (without pad)
+    win_row: Optional[np.ndarray] = None  # int32[nchunks, S, 2]
+    runs: Optional[np.ndarray] = None     # int32[nchunks, S, EPG, 3]
+    row_len: Optional[np.ndarray] = None  # int32[nchunks, rb] products/row
 
     @property
-    def spec(self) -> Tuple[int, int, int, int, int, int]:
+    def spec(self) -> Tuple[int, ...]:
         return (self.W, self.rb, self.nchunks, self.eb,
-                self.hold_passes, self.seg_passes)
+                self.hold_passes, self.seg_passes,
+                self.fill, self.stride, self.wrows, self.out_rows)
 
 
 @dataclasses.dataclass
@@ -121,7 +151,7 @@ class BucketPlan:
                 {"W": c.W, "chunks": c.nchunks, "rows_per_chunk": c.rb,
                  "rows": int((c.rows_g >= 0).sum()),
                  "entry_cap": c.eb, "hold_passes": c.hold_passes,
-                 "seg_passes": c.seg_passes}
+                 "seg_passes": c.seg_passes, "fill": c.fill}
                 for c in self.classes
             ],
         }
@@ -131,11 +161,132 @@ def _log2_bound(x: int) -> int:
     return max(1, int(x - 1).bit_length()) if x > 1 else 0
 
 
+def _plan_runs_chunk(ent_src: np.ndarray, ent_dst: np.ndarray,
+                     ent_len: np.ndarray, stride: int, pad_dst: int,
+                     wrows: int, epg: int):
+    """Plan the Mosaic fill for ONE chunk: merge entry spans into maximal
+    contiguous runs, split to the window payload cap, sort by source and
+    group into grid steps on a fixed half-window grid (window stride
+    SW = wrows*128/2 with run cap SW, so any run assigned to grid cell k
+    lies inside the window [k*SW, k*SW + wrows*128)).
+
+    Returns (win_row int32[S, 2] = (window start row, live run count),
+    runs int32[S, epg, 3]) with runs[...,0] = window-relative src,
+    [...,1] = flat slab3 dst, [...,2] = len, all in int32 WORDS
+    (b-element units scaled by ``stride``).
+    """
+    live = (ent_len > 0) & (ent_dst < pad_dst)
+    es = ent_src[live].astype(np.int64) * stride
+    ed = ent_dst[live].astype(np.int64) * stride
+    el = ent_len[live].astype(np.int64) * stride
+    SW = wrows * 128 // 2
+    if es.size == 0:
+        return (np.zeros((1, 2), np.int32), np.zeros((1, epg, 3),
+                                                     np.int32))
+    # merge: entries are in dst order; a run extends while BOTH src and
+    # dst advance contiguously (adjacent A columns hit adjacent B rows)
+    new = np.ones(es.size, bool)
+    new[1:] = (es[1:] != es[:-1] + el[:-1]) | (ed[1:] != ed[:-1] + el[:-1])
+    starts = np.flatnonzero(new)
+    rs, rd = es[starts], ed[starts]
+    rl = np.add.reduceat(el, starts)
+    # split runs longer than the window payload cap
+    npieces = (-(-rl // SW)).astype(np.int64)
+    if npieces.max(initial=1) > 1:
+        idx = np.repeat(np.arange(rs.size), npieces)
+        within = (np.arange(idx.size)
+                  - np.repeat(np.cumsum(npieces) - npieces, npieces))
+        off = within * SW
+        rs, rd = rs[idx] + off, rd[idx] + off
+        rl = np.minimum(rl[idx] - off, SW)
+    o = np.argsort(rs, kind="stable")
+    rs, rd, rl = rs[o], rd[o], rl[o]
+    rs_b = rs + _FILL_BIAS_WORDS          # see _FILL_BIAS_WORDS
+    wid = rs_b // SW
+    neww = np.ones(rs.size, bool)
+    neww[1:] = wid[1:] != wid[:-1]
+    wstart = np.flatnonzero(neww)
+    counts = np.diff(np.concatenate([wstart, [rs.size]]))
+    within = np.arange(rs.size) - np.repeat(wstart, counts)
+    newstep = neww | (within % epg == 0)
+    sid = np.cumsum(newstep) - 1
+    S = int(sid[-1]) + 1
+    win_row = np.zeros((S, 2), np.int32)
+    win_row[sid, 0] = (wid * (SW // 128) - 1).astype(np.int32)
+    win_row[:, 1] = np.bincount(sid, minlength=S).astype(np.int32)
+    runs = np.zeros((S * epg, 3), np.int32)
+    flat = sid * epg + (within % epg)
+    runs[flat, 0] = (rs_b - wid * SW + 128).astype(np.int32)
+    runs[flat, 1] = rd.astype(np.int32)
+    runs[flat, 2] = rl.astype(np.int32)
+    return win_row, runs.reshape(S, epg, 3)
+
+
+def _fill_wrows(W: int, stride: int) -> int:
+    """Window rows for a class: at least 2x the widest possible span so
+    the half-window grid always fits a run, capped at 128 (64 KB)."""
+    need = max(16, 2 * ((W * stride + 127) // 128))
+    return min(128, 1 << (need - 1).bit_length())
+
+
+def _attach_fill_plan(c: "ClassPlan", stride: int,
+                      force: bool = False) -> None:
+    """Build per-chunk run plans for a class and accept the Mosaic fill
+    path if the measured-cost model says it beats the XLA gathers."""
+    wrows = _fill_wrows(c.W, stride)
+    epg = _FILL_EPG
+    wins, runss, s_total, r_total = [], [], 0, 0
+    for k in range(c.nchunks):
+        w, r = _plan_runs_chunk(c.ent_src[k], c.ent_dst[k], c.ent_len[k],
+                                stride, c.rb * c.W, wrows, epg)
+        wins.append(w)
+        runss.append(r)
+        s_total += w.shape[0]
+        r_total += int(w[:, 1].sum())
+    slots = c.W * c.rb * c.nchunks
+    fill_est = (s_total * _FILL_STEP_US * 1e3
+                + r_total * _FILL_RUN_US * 1e3
+                + slots * _FILL_NS_PER_SLOT)
+    gather_est = slots * _GATHER_NS_PER_SLOT
+    if fill_est >= gather_est and not force:
+        return
+    S = quantize(max(w.shape[0] for w in wins))
+    win_row = np.zeros((c.nchunks, S, 2), np.int32)
+    runs = np.zeros((c.nchunks, S, epg, 3), np.int32)
+    for k, (w, r) in enumerate(zip(wins, runss)):
+        win_row[k, :w.shape[0]] = w
+        runs[k, :r.shape[0]] = r
+    # per-slot product count (tight packing: max over entries of
+    # dst+len within the slot) — replaces the expensive 4-value
+    # hold-scan validity on the device with a single comparison
+    row_len = np.zeros((c.nchunks, c.rb), np.int32)
+    for k in range(c.nchunks):
+        live = c.ent_len[k] > 0
+        dst = c.ent_dst[k][live].astype(np.int64)
+        end = dst + c.ent_len[k][live]
+        slot = dst // c.W
+        np.maximum.at(row_len[k], slot, (end - slot * c.W).astype(
+            np.int32))
+    c.fill = True
+    c.stride = stride
+    c.wrows = wrows
+    c.out_rows = -(-(c.rb * c.W * stride) // 128)
+    c.win_row = win_row
+    c.runs = runs
+    c.row_len = row_len
+
+
 def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
-                 min_width: int = 128, area_cap: int = 1 << 23
+                 min_width: int = 128, area_cap: int = 1 << 23,
+                 vwords: int = 2, dma_fill: str = "off"
                  ) -> BucketPlan:
     """Bin rows by product count into power-of-two width classes and build
-    per-chunk A-entry descriptors (vectorized numpy; cached per (A, B))."""
+    per-chunk A-entry descriptors (vectorized numpy; cached per (A, B)).
+
+    ``dma_fill`` enables the Mosaic ragged-fill expansion per class
+    ("auto" = measured-cost model, "on"/"interpret" = force, "off");
+    ``vwords`` is the value width in i32 words (2 = f64, 1 = f32) used
+    for the interleaved [col, val words] transport stream."""
     m = a_ptr.shape[0] - 1
     blens = np.diff(b_ptr).astype(np.int64)
     p_ent = blens[a_col]                                    # per A-entry
@@ -165,11 +316,27 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
 
     from ..utils import native as native_lib
 
+    stride = 1 + vwords
+    fill_force = dma_fill in ("on", "interpret")
+    fill_ok = (dma_fill in ("auto", "on", "interpret")
+               and vwords in (1, 2)
+               and int(b_ptr[-1]) * stride < 2**31
+               and (rf.on_tpu() or dma_fill == "interpret"))
+    fill_slot_cap = _FILL_WORDS_CAP // stride
+
     for W in sorted(set(int(w) for w in np.unique(wclass))):
         rows_c = active[wclass == int(W)]                   # original order
+        cand = False
+        if fill_ok and W <= fill_slot_cap:
+            pc = int(p[wclass == int(W)].sum())
+            ec = int(row_vcnt[rows_c].sum())
+            cand = fill_force or (pc * stride / max(1, ec)
+                                  >= _FILL_MIN_SPAN_WORDS)
         # rows per chunk: bounded by the area budget AND the class's actual
-        # row count (quantized so similar matrices share compiled shapes)
-        rb = max(1, min(area_cap // W, quantize(rows_c.size)))
+        # row count (quantized so similar matrices share compiled shapes);
+        # fill classes use the smaller VMEM-resident slab3 budget
+        cap = fill_slot_cap if cand else area_cap
+        rb = max(1, min(cap // W, quantize(rows_c.size)))
         nchunks = -(-rows_c.size // rb)
         rows_pad = np.full(nchunks * rb, -1, dtype=np.int32)
         rows_pad[: rows_c.size] = rows_c
@@ -193,6 +360,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                 ent_dst=ent[0], ent_src=ent[1], ent_len=ent[2],
                 ent_aidx=ent[3],
                 hold_passes=_log2_bound(W), seg_passes=_log2_bound(W)))
+            if cand:
+                _attach_fill_plan(classes[-1], stride, force=fill_force)
             continue
         cnt = a_row_nnz[rows_c].astype(np.int64)
         local_row = np.repeat(np.arange(rows_c.size, dtype=np.int64), cnt)
@@ -240,6 +409,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             hold_passes=_log2_bound(W),
             seg_passes=_log2_bound(W),
         ))
+        if cand:
+            _attach_fill_plan(classes[-1], stride, force=fill_force)
 
     # flat offset of each row's slab in the concatenated class slabs
     # (extraction reads output j of row r at slab_row_start[r] + rank)
@@ -271,11 +442,32 @@ def upload_plan(plan: BucketPlan) -> None:
         return
     plan.dev = [
         tuple(jnp.asarray(x) for x in
-              (c.rows_g, c.ent_dst, c.ent_src, c.ent_len, c.ent_aidx))
+              ((c.rows_g, c.ent_dst, c.ent_aidx, c.row_len, c.win_row,
+                c.runs) if c.fill else
+               (c.rows_g, c.ent_dst, c.ent_src, c.ent_len, c.ent_aidx)))
         for c in plan.classes
     ]
     if plan.slab_row_start is not None:
         plan.dev_slab_start = jnp.asarray(plan.slab_row_start)
+
+
+def build_pairs(b_col: np.ndarray, b_val: np.ndarray, vwords: int,
+                wrows_max: int) -> np.ndarray:
+    """Interleaved transport stream for the ragged fill: per B nonzero,
+    [col, val word(s)] as int32 — a B row's data is one contiguous span.
+    Padded so any window row read stays in bounds.  Returns i32[NR, 128].
+    """
+    nnz = b_col.shape[0]
+    stride = 1 + vwords
+    pairs = np.zeros((nnz, stride), np.int32)
+    pairs[:, 0] = b_col
+    pairs[:, 1:] = b_val.view(np.int32).reshape(nnz, vwords)
+    flat = pairs.reshape(-1)
+    rows = (-(-(_FILL_BIAS_WORDS + flat.size) // 128)
+            + wrows_max + rf.PAD_ROWS)
+    out = np.zeros((rows, 128), np.int32)
+    out.reshape(-1)[_FILL_BIAS_WORDS: _FILL_BIAS_WORDS + flat.size] = flat
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -325,15 +517,15 @@ def _seg_sum_rows(values: jax.Array, new: jax.Array,
 # Device: per-chunk ESC kernel + whole-matrix program
 # ---------------------------------------------------------------------------
 
-def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
-               a_val, b_col, b_val, *, W: int, rb: int,
-               hold_passes: int, seg_passes: int):
-    """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
+def _expand_seeds(ent_dst, ent_src, ent_len, ent_aidx, a_val,
+                  *, W: int, rb: int, hold_passes: int):
+    """Seed per-entry descriptors at their destination slots (entry-count
+    sized scatters), then ONE shared hold-scan broadcasts them down their
+    segments: every slot learns (src base, len, segment start, a-value)
+    in log2(max segment) vector passes — no int64, no cummax, no repeat.
+    Returns (src0, valid, AV, off)."""
     RW = rb * W
-    # seed per-entry descriptors at their destination slots (entry-count
-    # sized scatters), then ONE shared hold-scan broadcasts them down their
-    # segments: every slot learns (src base, len, segment start, a-value)
-    # in log2(max segment) vector passes — no int64, no cummax, no repeat.
+
     def seed(vals, dtype, fill=0):
         return jnp.full((RW,), fill, dtype).at[ent_dst].set(
             vals, mode="drop").reshape(rb, W)
@@ -351,13 +543,13 @@ def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
     pos = jnp.arange(RW, dtype=jnp.int32).reshape(rb, W)
     off = pos - dst_s
     valid = (off >= 0) & (off < len0)
-    src = jnp.where(valid, src0 + off, 0).reshape(-1)
+    return src0, valid, AV, off
 
-    key = jnp.where(valid, b_col[src].reshape(rb, W), _I32_MAX)  # gather #1
-    bv = b_val[src].reshape(rb, W)                               # gather #2
-    K = key
-    prod = jnp.where(valid, AV * bv, jnp.zeros((), b_val.dtype))
 
+def _chunk_tail(K, prod, *, rb: int, seg_passes: int):
+    """Shared per-chunk tail: sort by column, segment-sum equal-column
+    runs (the hash-accumulate analogue, inc/numeric.cuh:215-258), then
+    left-pack the survivors (table compaction, inc/numeric.cuh:264-297)."""
     sK, sV = jax.lax.sort((K, prod), num_keys=1, dimension=1)
     new = jnp.concatenate(
         [jnp.ones((rb, 1), bool), sK[:, 1:] != sK[:, :-1]], axis=1)
@@ -371,32 +563,93 @@ def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
     return oC, oV, nnz_row
 
 
-@functools.partial(jax.jit, static_argnames=("specs", "m"))
-def bucketed_main(class_arrays, a_val, b_col, b_val, *,
-                  specs: Tuple[Tuple[int, ...], ...], m: int):
+def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
+               a_val, b_col, b_val, *, W: int, rb: int,
+               hold_passes: int, seg_passes: int):
+    """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack.
+    XLA-gather expansion: two per-element gathers (the irreducible data
+    movement of this formulation — ~26 ns/slot measured)."""
+    src0, valid, AV, off = _expand_seeds(
+        ent_dst, ent_src, ent_len, ent_aidx, a_val,
+        W=W, rb=rb, hold_passes=hold_passes)
+    src = jnp.where(valid, src0 + off, 0).reshape(-1)
+
+    K = jnp.where(valid, b_col[src].reshape(rb, W), _I32_MAX)  # gather #1
+    bv = b_val[src].reshape(rb, W)                             # gather #2
+    prod = jnp.where(valid, AV * bv, jnp.zeros((), b_val.dtype))
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
+
+
+def _chunk_fill(rows_g, ent_dst, ent_aidx, row_len, win_row, runs,
+                a_val, pairs2d, *, W: int, rb: int,
+                hold_passes: int, seg_passes: int, stride: int,
+                wrows: int, out_rows: int, vdtype, interpret: bool):
+    """One [rb, W] chunk with Mosaic ragged-fill expansion: the B columns
+    and value words stream in as contiguous interleaved runs at DMA
+    bandwidth (ops/ragged_fill.py) instead of per-element gathers.
+    Validity is one comparison against the plan-time per-row product
+    count; only the A-value broadcast needs a (single-value) hold-scan."""
+    slab3 = rf.ragged_fill(win_row, runs, pairs2d,
+                           out_rows=out_rows, wrows=wrows,
+                           interpret=interpret)
+    flat3 = slab3.reshape(-1)[: rb * W * stride].reshape(rb * W, stride)
+    K0 = flat3[:, 0].reshape(rb, W)
+    if stride == 3:
+        bv = jax.lax.bitcast_convert_type(
+            flat3[:, 1:3], jnp.float64).reshape(rb, W)
+    else:
+        bv = jax.lax.bitcast_convert_type(
+            flat3[:, 1], jnp.float32).reshape(rb, W)
+    bv = bv.astype(vdtype)
+
+    RW = rb * W
+    s_av = jnp.zeros((RW,), a_val.dtype).at[ent_dst].set(
+        a_val[ent_aidx], mode="drop").reshape(rb, W)
+    starts = jnp.zeros((RW,), bool).at[ent_dst].set(
+        True, mode="drop").reshape(rb, W)
+    (AV,) = _hold_scan_rows((s_av,), starts, hold_passes)
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
+             < row_len[:, None])
+    K = jnp.where(valid, K0, _I32_MAX)
+    prod = jnp.where(valid, AV * bv, jnp.zeros((), vdtype))
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("specs", "m", "vdtype", "interpret"))
+def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
+                  specs: Tuple[Tuple[int, ...], ...], m: int,
+                  vdtype=None, interpret: bool = False):
     """Whole-matrix main program: every class, every chunk, one dispatch.
 
     Returns (crow_nnz int32[m], cptr int32[m+1], class_totals int64[K],
     slabs) where slabs[k] = (cols [n,rb,W], vals [n,rb,W], nnz [n,rb])
-    left-packed per row.
+    left-packed per row.  ``pairs2d`` is the interleaved fill stream
+    (None when no class uses the Mosaic expansion).
     """
     crow = jnp.zeros((m + 1,), jnp.int32)
     slabs = []
     totals = []
-    for (W, rb, nchunks, eb, hp, sp), arrs in zip(specs, class_arrays):
-        rows_g, ent_dst, ent_src, ent_len, ent_aidx = arrs
-        body = functools.partial(_chunk_esc, a_val=a_val, b_col=b_col,
-                                 b_val=b_val, W=W, rb=rb,
-                                 hold_passes=hp, seg_passes=sp)
+    for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
+         out_rows), arrs in zip(specs, class_arrays):
+        if fill:
+            body = functools.partial(
+                _chunk_fill, a_val=a_val, pairs2d=pairs2d, W=W, rb=rb,
+                hold_passes=hp, seg_passes=sp, stride=stride,
+                wrows=wrows, out_rows=out_rows,
+                vdtype=vdtype or b_val.dtype, interpret=interpret)
+        else:
+            body = functools.partial(
+                _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
+                W=W, rb=rb, hold_passes=hp, seg_passes=sp)
+        rows_g = arrs[0]
         if nchunks == 1:
-            oC, oV, nnz_row = body(rows_g[0], ent_dst[0], ent_src[0],
-                                   ent_len[0], ent_aidx[0])
+            oC, oV, nnz_row = body(*(x[0] for x in arrs))
             oC, oV, nnz_row = oC[None], oV[None], nnz_row[None]
         else:
             def step(carry, xs):
                 return carry, body(*xs)
-            _, (oC, oV, nnz_row) = jax.lax.scan(
-                step, None, (rows_g, ent_dst, ent_src, ent_len, ent_aidx))
+            _, (oC, oV, nnz_row) = jax.lax.scan(step, None, arrs)
         idx = jnp.where(rows_g >= 0, rows_g, m)
         crow = crow.at[idx.reshape(-1)].set(nnz_row.reshape(-1),
                                             mode="drop")
@@ -451,12 +704,24 @@ def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
 # Orchestration
 # ---------------------------------------------------------------------------
 
-def run_bucketed(plan: BucketPlan, a_val, b_col, b_val):
+def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
+                 vdtype=None, interpret: bool = False):
     """Dispatch the main program.  Returns (crow, cptr, totals, slabs)."""
     upload_plan(plan)
     specs = tuple(c.spec for c in plan.classes)
-    return bucketed_main(plan.dev, a_val, b_col, b_val,
-                         specs=specs, m=plan.m_cap)
+    if pairs2d is None:
+        pairs2d = jnp.zeros((1, 128), jnp.int32)
+    return bucketed_main(plan.dev, a_val, b_col, b_val, pairs2d,
+                         specs=specs, m=plan.m_cap, vdtype=vdtype,
+                         interpret=interpret)
+
+
+def needs_pairs(plan: BucketPlan) -> bool:
+    return any(c.fill for c in plan.classes)
+
+
+def pairs_wrows_max(plan: BucketPlan) -> int:
+    return max((c.wrows for c in plan.classes if c.fill), default=0)
 
 
 def finish_bucketed(plan: BucketPlan, main_out, vdtype):

@@ -251,6 +251,7 @@ class BucketedState:
     a_val: object
     b_col: object
     b_val: object
+    b_pairs: object = None      # interleaved fill stream (Mosaic classes)
 
 
 def spgemm_bucketed(A: CSR, B: CSR,
@@ -270,11 +271,15 @@ def spgemm_bucketed(A: CSR, B: CSR,
 
     # binning: row classes by product count (reference binning<TYPE>,
     # inc/MH_spgemm.cuh:26-43; host-side here, cached like Tool workspace)
+    vwords = {"float64": 2, "float32": 1}.get(
+        str(_jnp.dtype(config.vdtype)), 0)
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
             plan = bucketed_ops.plan_buckets(
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
-                area_cap=config.bucket_area_cap)
+                area_cap=config.bucket_area_cap,
+                vwords=vwords if vwords else 2,
+                dma_fill=config.dma_fill if vwords else "off")
             state = BucketedState(plan=plan, a_val=None, b_col=None,
                                   b_val=None)
         plan = state.plan
@@ -284,6 +289,10 @@ def spgemm_bucketed(A: CSR, B: CSR,
             state.a_val = _jnp.asarray(A.val.astype(config.vdtype))
             state.b_col = _jnp.asarray(B.col)
             state.b_val = _jnp.asarray(B.val.astype(config.vdtype))
+            if bucketed_ops.needs_pairs(plan):
+                state.b_pairs = _jnp.asarray(bucketed_ops.build_pairs(
+                    B.col, B.val.astype(config.vdtype), vwords,
+                    bucketed_ops.pairs_wrows_max(plan)))
             bucketed_ops.upload_plan(plan)
 
     if A.nnz == 0 or B.nnz == 0 or not plan.classes:
@@ -294,8 +303,10 @@ def spgemm_bucketed(A: CSR, B: CSR,
         return C, state
 
     with PhaseTimer.phase(timing, "calculate_c_nnz"):
-        main_out = bucketed_ops.run_bucketed(plan, state.a_val,
-                                             state.b_col, state.b_val)
+        main_out = bucketed_ops.run_bucketed(
+            plan, state.a_val, state.b_col, state.b_val, state.b_pairs,
+            vdtype=config.vdtype,
+            interpret=(config.dma_fill == "interpret"))
         if config.profile:
             _fence(main_out[1])        # split main vs extraction exactly
 
