@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     p.add_argument("matrix", nargs="?", default="scircuit")
     p.add_argument("--strategy", default="ragged",
                    choices=["replicate", "allgather", "ragged"])
+    p.add_argument("--engine", default="bucketed",
+                   choices=["bucketed", "esc"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--max-devices", type=int, default=None)
     args = p.parse_args(argv)
@@ -47,12 +49,12 @@ def main(argv=None) -> int:
         mesh = make_row_mesh(d)
         st = {}
         C = spgemm_dist(A, None, mesh, b_strategy=args.strategy,
-                        state=st)  # warm: plan + H2D + compile
+                        state=st, engine=args.engine)  # warm: plan+compile
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             C = spgemm_dist(A, None, mesh, b_strategy=args.strategy,
-                            state=st)
+                            state=st, engine=args.engine)
             ts.append((time.perf_counter() - t0) * 1e3)
         ok = verify(C, ref, raise_on_fail=False, verbose=False)
         ms = min(ts)
@@ -67,6 +69,7 @@ def main(argv=None) -> int:
         "metric": "spgemm_dist_scaling",
         "matrix": args.matrix,
         "strategy": args.strategy,
+        "engine": args.engine,
         "devices": results,
         "backend": jax.default_backend(),
     }))

@@ -121,6 +121,22 @@ class ClassPlan:
 
 
 @dataclasses.dataclass
+class ExtractPlan:
+    """Host plan for the Mosaic extraction: per OUTPUT chunk (a CSR word
+    range small enough for a VMEM-resident ragged_fill output), the
+    per-row packed-slab spans as (src, dst, len) word runs grouped into
+    source windows."""
+
+    stride: int                         # words per output nonzero
+    nchunks: int
+    cap_rows: int                       # output chunk rows (words / 128)
+    wrows: int
+    win_row: np.ndarray                 # int32[nchunks, S, 2]
+    runs: np.ndarray                    # int32[nchunks, S, EPG, 3]
+    dev: Optional[tuple] = None
+
+
+@dataclasses.dataclass
 class BucketPlan:
     """Host plan: row classes + device descriptor arrays + cached sizes."""
 
@@ -134,6 +150,9 @@ class BucketPlan:
     class_caps: Optional[Tuple[int, ...]] = None  # quantized nnz per class
     nnz_c: Optional[int] = None
     nnz_cap: Optional[int] = None
+    dma_fill: str = "off"
+    vwords: int = 2
+    ext: Optional[ExtractPlan] = None   # Mosaic extraction (or None)
 
     def stats(self) -> dict:
         """Occupancy/padding counters — the TPU analogue of the reference's
@@ -161,6 +180,16 @@ def _log2_bound(x: int) -> int:
     return max(1, int(x - 1).bit_length()) if x > 1 else 0
 
 
+def _width_class(p: np.ndarray, min_width: int) -> np.ndarray:
+    """Row width class per product count: powers of two plus 1.5x
+    intermediates (8, 12, 16, 24, 32, ...)."""
+    if p.size == 0:
+        return p.astype(np.int64)
+    pow2 = 2 ** np.ceil(np.log2(p)).astype(np.int64)
+    half = (3 * pow2) // 4                      # 1.5 * previous pow2
+    return np.maximum(min_width, np.where(p <= half, half, pow2))
+
+
 def _plan_runs_chunk(ent_src: np.ndarray, ent_dst: np.ndarray,
                      ent_len: np.ndarray, stride: int, pad_dst: int,
                      wrows: int, epg: int):
@@ -179,7 +208,6 @@ def _plan_runs_chunk(ent_src: np.ndarray, ent_dst: np.ndarray,
     es = ent_src[live].astype(np.int64) * stride
     ed = ent_dst[live].astype(np.int64) * stride
     el = ent_len[live].astype(np.int64) * stride
-    SW = wrows * 128 // 2
     if es.size == 0:
         return (np.zeros((1, 2), np.int32), np.zeros((1, epg, 3),
                                                      np.int32))
@@ -190,6 +218,18 @@ def _plan_runs_chunk(ent_src: np.ndarray, ent_dst: np.ndarray,
     starts = np.flatnonzero(new)
     rs, rd = es[starts], ed[starts]
     rl = np.add.reduceat(el, starts)
+    return _group_runs(rs, rd, rl, wrows, epg)
+
+
+def _group_runs(rs: np.ndarray, rd: np.ndarray, rl: np.ndarray,
+                wrows: int, epg: int):
+    """Split (src, dst, len) word runs to the window payload cap, sort by
+    source, and group into grid steps on the fixed half-window grid.
+    Shared by the expansion planner and the extraction planner."""
+    SW = wrows * 128 // 2
+    if rs.size == 0:
+        return (np.zeros((1, 2), np.int32), np.zeros((1, epg, 3),
+                                                     np.int32))
     # split runs longer than the window payload cap
     npieces = (-(-rl // SW)).astype(np.int64)
     if npieces.max(initial=1) > 1:
@@ -278,7 +318,10 @@ def _attach_fill_plan(c: "ClassPlan", stride: int,
 
 def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  min_width: int = 128, area_cap: int = 1 << 23,
-                 vwords: int = 2, dma_fill: str = "off"
+                 vwords: int = 2, dma_fill: str = "off",
+                 b_starts: Optional[np.ndarray] = None,
+                 b_lens: Optional[np.ndarray] = None,
+                 forced: Optional[dict] = None
                  ) -> BucketPlan:
     """Bin rows by product count into power-of-two width classes and build
     per-chunk A-entry descriptors (vectorized numpy; cached per (A, B)).
@@ -286,28 +329,40 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     ``dma_fill`` enables the Mosaic ragged-fill expansion per class
     ("auto" = measured-cost model, "on"/"interpret" = force, "off");
     ``vwords`` is the value width in i32 words (2 = f64, 1 = f32) used
-    for the interleaved [col, val words] transport stream."""
+    for the interleaved [col, val words] transport stream.
+
+    ``b_starts``/``b_lens`` override the address layout of the B data
+    the descriptors point at (default: CSR, ``b_ptr[:-1]``/``diff``) —
+    the distributed engines plan against gathered or halo-payload
+    layouts whose row starts are not a prefix sum.  ``forced`` maps
+    width -> (rb, nchunks, eb) to pin class shapes (including widths
+    with zero local rows), so every shard of a mesh compiles ONE
+    program (plan_buckets_sharded builds it)."""
     m = a_ptr.shape[0] - 1
-    blens = np.diff(b_ptr).astype(np.int64)
-    p_ent = blens[a_col]                                    # per A-entry
+    csr_layout = b_starts is None and b_lens is None
+    if b_lens is None:
+        b_lens = np.diff(b_ptr).astype(np.int64)
+    else:
+        b_lens = b_lens.astype(np.int64)
+    if b_starts is None:
+        b_starts = b_ptr[:-1]
+    p_ent = b_lens[a_col]                                   # per A-entry
     cs = np.concatenate([[0], np.cumsum(p_ent)])
     p_row = cs[a_ptr[1:]] - cs[a_ptr[:-1]]                  # per C row
     intprod = int(cs[-1])
 
     active = np.flatnonzero(p_row > 0).astype(np.int32)
     classes: List[ClassPlan] = []
-    if active.size == 0:
+    if active.size == 0 and not forced:
         return BucketPlan(m=m, m_cap=quantize(max(1, m)), classes=classes,
-                          intprod=intprod)
+                          intprod=intprod, dma_fill=dma_fill,
+                          vwords=vwords)
 
     # width grid: powers of two plus 1.5x intermediates (8,12,16,24,32,...)
     # — halves worst-case slot padding (the dominant per-slot cost is the
     # two gathers, paid on padded slots too) at the cost of ~2x classes
     p = p_row[active]
-    pow2 = 2 ** np.ceil(np.log2(p)).astype(np.int64)
-    half = (3 * pow2) // 4                      # 1.5 * previous pow2
-    wclass = np.maximum(min_width, np.where(p <= half, half, pow2))
-    max_blen = int(blens.max()) if blens.size else 1
+    wclass = _width_class(p, min_width)
     a_row_nnz = np.diff(a_ptr)
     # per-row count of entries referencing NONEMPTY B rows (descriptor
     # counts; used by the native builder's capacity sizing)
@@ -320,14 +375,18 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     fill_force = dma_fill in ("on", "interpret")
     fill_ok = (dma_fill in ("auto", "on", "interpret")
                and vwords in (1, 2)
-               and int(b_ptr[-1]) * stride < 2**31
+               and int(b_starts.max() + b_lens.max()
+                       if b_starts.size else 0) * stride < 2**31
                and (rf.on_tpu() or dma_fill == "interpret"))
     fill_slot_cap = _FILL_WORDS_CAP // stride
 
-    for W in sorted(set(int(w) for w in np.unique(wclass))):
-        rows_c = active[wclass == int(W)]                   # original order
+    widths = sorted(set(int(w) for w in np.unique(wclass))
+                    | set(forced or ()))
+    for W in widths:
+        rows_c = active[wclass == int(W)] if active.size else \
+            np.zeros(0, np.int32)                           # original order
         cand = False
-        if fill_ok and W <= fill_slot_cap:
+        if fill_ok and W <= fill_slot_cap and forced is None:
             pc = int(p[wclass == int(W)].sum())
             ec = int(row_vcnt[rows_c].sum())
             cand = fill_force or (pc * stride / max(1, ec)
@@ -335,9 +394,25 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         # rows per chunk: bounded by the area budget AND the class's actual
         # row count (quantized so similar matrices share compiled shapes);
         # fill classes use the smaller VMEM-resident slab3 budget
-        cap = fill_slot_cap if cand else area_cap
-        rb = max(1, min(cap // W, quantize(rows_c.size)))
-        nchunks = -(-rows_c.size // rb)
+        if forced is not None:
+            rb, nchunks, eb_n = forced[W]
+        else:
+            cap = fill_slot_cap if cand else area_cap
+            rb = max(1, min(cap // W, quantize(max(1, rows_c.size))))
+            nchunks = max(1, -(-rows_c.size // rb))
+        nchunks = max(nchunks, -(-max(1, rows_c.size) // rb))
+        vc = row_vcnt[rows_c]
+        ecnt_max = int(np.max(np.add.reduceat(
+            np.concatenate([vc, np.zeros(nchunks * rb - vc.size,
+                                         np.int64)]),
+            np.arange(0, nchunks * rb, rb)))) if vc.size else 0
+        if forced is not None:
+            # the union rb may regroup rows into fuller chunks than the
+            # shard's own plan had — grow eb to fit (the caller re-unions
+            # to a fixpoint)
+            eb_n = max(eb_n, quantize(max(1, ecnt_max)))
+        else:
+            eb_n = quantize(max(1, ecnt_max))
         rows_pad = np.full(nchunks * rb, -1, dtype=np.int32)
         rows_pad[: rows_c.size] = rows_c
 
@@ -345,14 +420,9 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         # nothing and would collide at the next entry's dst slot) — via the
         # native C++ builder when available (one fused OpenMP pass), else
         # the vectorized numpy path below
-        vc = row_vcnt[rows_c]
-        ecnt_max = int(np.max(np.add.reduceat(
-            np.concatenate([vc, np.zeros(nchunks * rb - vc.size,
-                                         np.int64)]),
-            np.arange(0, nchunks * rb, rb)))) if vc.size else 0
-        eb_n = quantize(max(1, ecnt_max))
-        ent = native_lib.bucket_entries(a_ptr, a_col, b_ptr, rows_c,
-                                        rb, int(W), eb_n, nchunks)
+        ent = (native_lib.bucket_entries(a_ptr, a_col, b_ptr, rows_c,
+                                         rb, int(W), eb_n, nchunks)
+               if csr_layout else None)
         if ent is not None:
             classes.append(ClassPlan(
                 W=int(W), rb=rb, nchunks=nchunks, eb=eb_n,
@@ -383,8 +453,10 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         slot = local_row - chunk * rb
         dst = (slot * W + off).astype(np.int64)
 
-        ecnt = np.bincount(chunk, minlength=nchunks).astype(np.int64)
-        eb = quantize(int(ecnt.max())) if ecnt.size else 1
+        ecnt = (np.bincount(chunk, minlength=nchunks).astype(np.int64)
+                if chunk.size else np.zeros(nchunks, np.int64))
+        eb = eb_n if forced is not None else (
+            quantize(int(ecnt.max())) if ecnt.size and ecnt.max() else 1)
         shape = (nchunks, eb)
         ent_dst = np.full(shape, rb * W, dtype=np.int32)    # pad -> dropped
         ent_src = np.zeros(shape, dtype=np.int32)
@@ -394,7 +466,7 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             np.concatenate([[0], np.cumsum(ecnt)[:-1]]), ecnt)
         flat = chunk * eb + within        # one flat index, 1-D stores
         ent_dst.ravel()[flat] = dst.astype(np.int32)
-        ent_src.ravel()[flat] = b_ptr[a_col[ent_e]].astype(np.int32)
+        ent_src.ravel()[flat] = b_starts[a_col[ent_e]].astype(np.int32)
         ent_len.ravel()[flat] = pe.astype(np.int32)
         ent_aidx.ravel()[flat] = ent_e.astype(np.int32)
 
@@ -432,7 +504,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     slab_row_start = np.concatenate(
         [slab_row_start, np.zeros(m_cap - m, np.int32)])
     return BucketPlan(m=m, m_cap=m_cap, classes=classes, intprod=intprod,
-                      slab_row_start=slab_row_start)
+                      slab_row_start=slab_row_start,
+                      dma_fill=dma_fill, vwords=vwords)
 
 
 def upload_plan(plan: BucketPlan) -> None:
@@ -615,6 +688,79 @@ def _chunk_fill(rows_g, ent_dst, ent_aidx, row_len, win_row, runs,
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
 
 
+def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
+                         n_shards: int, rows_per_shard: int,
+                         b_ptr: Optional[np.ndarray] = None,
+                         min_width: int = 128, area_cap: int = 1 << 23,
+                         b_starts=None, b_lens=None,
+                         a_col_shards: Optional[List[np.ndarray]] = None,
+                         ) -> List[BucketPlan]:
+    """Per-shard bucket plans with IDENTICAL class specs, so one jitted
+    program serves every shard of a row-partitioned mesh (SURVEY.md
+    §2.3: the bucketed engine under shard_map).
+
+    Shard d owns rows [d*R, (d+1)*R).  ``b_starts``/``b_lens`` may be
+    per-shard lists (ragged halo layout) or single arrays (replicated /
+    gathered layout).  Two-phase: plan each shard free-form, union the
+    class shapes (max rb/nchunks/eb per width), then replan forced."""
+    R = rows_per_shard
+    m = a_ptr.shape[0] - 1
+
+    def shard_csr(d):
+        lo, hi = min(d * R, m), min((d + 1) * R, m)
+        ptr = (a_ptr[lo:hi + 1] - a_ptr[lo]).astype(a_ptr.dtype)
+        if hi <= lo:
+            ptr = np.zeros(1, a_ptr.dtype)
+        ptr = np.concatenate([ptr, np.full(R + 1 - ptr.size, ptr[-1],
+                                           ptr.dtype)])
+        if a_col_shards is not None:
+            col = a_col_shards[d]         # e.g. halo-remapped columns
+        elif hi > lo:
+            col = a_col[a_ptr[lo]: a_ptr[hi]]
+        else:
+            col = np.zeros(0, a_col.dtype)
+        return ptr, col
+
+    def pick(x, d):
+        return x[d] if isinstance(x, (list, tuple)) else x
+
+    kw = dict(min_width=min_width, area_cap=area_cap, dma_fill="off")
+    plans = []
+    for d in range(n_shards):
+        ptr, col = shard_csr(d)
+        plans.append(plan_buckets(ptr, col, b_ptr,
+                                  b_starts=pick(b_starts, d),
+                                  b_lens=pick(b_lens, d), **kw))
+    forced: dict = {}
+    for pl_ in plans:
+        for c in pl_.classes:
+            rb, nch, eb = forced.get(c.W, (1, 1, 1))
+            forced[c.W] = (max(rb, c.rb), max(nch, c.nchunks),
+                           max(eb, c.eb))
+    # replan under the forced union; eb may still grow when the union rb
+    # regroups rows, so iterate the union to a fixpoint (converges fast:
+    # rb/nchunks are fixed after the first forced round, eb only grows)
+    for _ in range(4):
+        out = []
+        for d in range(n_shards):
+            ptr, col = shard_csr(d)
+            out.append(plan_buckets(ptr, col, b_ptr,
+                                    b_starts=pick(b_starts, d),
+                                    b_lens=pick(b_lens, d),
+                                    forced=forced, **kw))
+        new_forced = {
+            W: (forced[W][0],
+                max(pl_.classes[i].nchunks for pl_ in out),
+                max(pl_.classes[i].eb for pl_ in out))
+            for i, W in enumerate(sorted(forced))}
+        if new_forced == forced:
+            break
+        forced = new_forced
+    specs = {tuple(c.spec for c in pl_.classes) for pl_ in out}
+    assert len(specs) == 1, "sharded plans must share one spec"
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("specs", "m", "vdtype", "interpret"))
 def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
@@ -724,15 +870,196 @@ def pairs_wrows_max(plan: BucketPlan) -> int:
     return max((c.wrows for c in plan.classes if c.fill), default=0)
 
 
+def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
+    """Build the Mosaic extraction plan from the first-run row counts:
+    PLANAR (src, dst, len) word runs per nonempty C row — one run per
+    transport plane (columns / value-word planes; interleaving on device
+    would materialise a lane-padded [N, stride] layout), split at
+    output-chunk and window caps, windowed like the expansion runs.
+    Attached to ``plan.ext`` when the cost model beats the XLA gather
+    extraction."""
+    nplanes = 1 + (2 if plan.vwords == 2 else 1)  # col + hi (+ lo)
+    stride = nplanes
+    force = plan.dma_fill in ("on", "interpret")
+    nnz_c = int(crow.sum())
+    if nnz_c == 0:
+        return
+    avg_words = nnz_c * stride / max(1, int((crow > 0).sum()))
+    if not force and avg_words < _FILL_MIN_SPAN_WORDS:
+        return
+    area = sum(c.W * c.rb * c.nchunks for c in plan.classes)
+    nnz_cap = quantize(max(1, nnz_c))
+    if (area * nplanes + _FILL_BIAS_WORDS >= 2**31
+            or nnz_cap * nplanes >= 2**31):
+        return                        # int32 word addressing would overflow
+    rows = np.flatnonzero(crow > 0)
+    cptr = np.concatenate([[0], np.cumsum(crow, dtype=np.int64)])
+    src1 = plan.slab_row_start[rows].astype(np.int64)
+    dst1 = cptr[rows]
+    ln1 = crow[rows].astype(np.int64)
+    # planar: plane p's source lives at p*area, its output at p*nnz_cap
+    src = np.concatenate([src1 + p * area for p in range(nplanes)])
+    dst = np.concatenate([dst1 + p * nnz_cap for p in range(nplanes)])
+    ln = np.tile(ln1, nplanes)
+    CAP = _FILL_WORDS_CAP
+    wrows = 128
+    # split runs at output-chunk boundaries, then bucket by chunk
+    first = dst // CAP
+    last = (dst + ln - 1) // CAP
+    npieces = (last - first + 1)
+    if npieces.max(initial=1) > 1:
+        idx = np.repeat(np.arange(src.size), npieces)
+        within = (np.arange(idx.size)
+                  - np.repeat(np.cumsum(npieces) - npieces, npieces))
+        cut = (first[idx] + within) * CAP
+        lo = np.maximum(dst[idx], cut)
+        hi = np.minimum(dst[idx] + ln[idx], cut + CAP)
+        src = src[idx] + (lo - dst[idx])
+        ln = hi - lo
+        dst = lo
+    cid = dst // CAP
+    total_words = nnz_cap * nplanes
+    nchunks = max(1, -(-total_words // CAP))
+    wins, runss, s_total = [], [], 0
+    order = np.argsort(cid, kind="stable")
+    src, dst, ln, cid = src[order], dst[order], ln[order], cid[order]
+    bounds = np.searchsorted(cid, np.arange(nchunks + 1))
+    for o in range(nchunks):
+        sel = slice(bounds[o], bounds[o + 1])
+        w, r = _group_runs(src[sel], dst[sel] - o * CAP, ln[sel],
+                           wrows, _FILL_EPG)
+        wins.append(w)
+        runss.append(r)
+        s_total += w.shape[0]
+    fill_est = (s_total * _FILL_STEP_US * 1e3
+                + rows.size * nplanes * _FILL_RUN_US * 1e3
+                + nnz_c * stride * 0.7)
+    gather_est = nnz_c * (43.0 if plan.vwords == 2 else 29.0)
+    if fill_est >= gather_est and not force:
+        return
+    S = quantize(max(w.shape[0] for w in wins))
+    win_row = np.zeros((nchunks, S, 2), np.int32)
+    runs = np.zeros((nchunks, S, _FILL_EPG, 3), np.int32)
+    for k, (w, r) in enumerate(zip(wins, runss)):
+        win_row[k, :w.shape[0]] = w
+        runs[k, :r.shape[0]] = r
+    plan.ext = ExtractPlan(stride=stride, nchunks=nchunks,
+                           cap_rows=CAP // 128, wrows=wrows,
+                           win_row=win_row, runs=runs)
+
+
+def _dekker_words(oV):
+    """f64 -> two f32 words (value == hi + lo within 2^-48 relative;
+    f64 cannot be bitcast to words on this backend, so the split is
+    arithmetic).  Returns (hi_i32, lo_i32, finite_flag)."""
+    hi = oV.astype(jnp.float32)
+    lo = (oV - hi.astype(jnp.float64)).astype(jnp.float32)
+    ok = jnp.all(jnp.isfinite(hi))
+    return (jax.lax.bitcast_convert_type(hi, jnp.int32),
+            jax.lax.bitcast_convert_type(lo, jnp.int32), ok)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "m", "nnz_cap",
+                                             "interpret"))
+def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
+                            *, spec, m: int, nnz_cap: int,
+                            interpret: bool = False):
+    """Mosaic extraction: per-row packed slab spans stream into the CSR
+    arrays via ragged_fill over output chunks (the windowed-copy answer
+    to the gather-only XLA extraction's ~44 ns per output nonzero).
+    Falls back to the XLA path at runtime if any value overflows the
+    f32 transport range (lax.cond, f64 only)."""
+    stride, nchunks, cap_rows, wrows = spec
+    f64 = stride == 3
+    cols, his, los = [], [], []
+    ok = jnp.bool_(True)
+    for oC, oV, _ in slabs:
+        cols.append(oC.reshape(-1))
+        if f64:
+            hi, lo, fin = _dekker_words(oV.reshape(-1))
+            ok = ok & fin
+            his.append(hi)
+            los.append(lo)
+        else:
+            his.append(jax.lax.bitcast_convert_type(
+                oV.reshape(-1).astype(jnp.float32), jnp.int32))
+    # PLANAR stream: [bias | col plane | hi plane | (lo plane)] — a
+    # device-side interleave would materialise a lane-padded [N, stride]
+    # layout (128/stride x blowup); planes keep everything 1-D
+    stream = jnp.concatenate(
+        [jnp.zeros((_FILL_BIAS_WORDS,), jnp.int32)]
+        + cols + his + los)
+    srows = -(-stream.shape[0] // 128) + wrows + rf.PAD_ROWS
+    stream2d = jnp.zeros((srows, 128), jnp.int32).at[
+        : -(-stream.shape[0] // 128)].set(
+        jnp.pad(stream, (0, -(-stream.shape[0] // 128) * 128
+                         - stream.shape[0])).reshape(-1, 128))
+
+    def mosaic(_):
+        if nchunks == 1:
+            w = rf.ragged_fill(win_row[0], runs[0], stream2d,
+                               out_rows=cap_rows, wrows=wrows,
+                               interpret=interpret)
+            flatw = w.reshape(-1)[: cap_rows * 128]
+        else:
+            def step(carry, xs):
+                wr, rn = xs
+                w = rf.ragged_fill(wr, rn, stream2d, out_rows=cap_rows,
+                                   wrows=wrows, interpret=interpret)
+                return carry, w[: cap_rows]
+            _, ws = jax.lax.scan(step, None, (win_row, runs))
+            flatw = ws.reshape(-1)
+        ccol = flatw[:nnz_cap]
+        hi = jax.lax.bitcast_convert_type(
+            flatw[nnz_cap: 2 * nnz_cap], jnp.float32)
+        if f64:
+            lo = jax.lax.bitcast_convert_type(
+                flatw[2 * nnz_cap: 3 * nnz_cap], jnp.float32)
+            cval = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        else:
+            cval = hi
+        j = jnp.arange(nnz_cap, dtype=jnp.int32)
+        good = j < cptr[m]
+        return (jnp.where(good, ccol, 0),
+                jnp.where(good, cval, jnp.zeros((), cval.dtype)))
+
+    def xla(_):
+        return bucketed_extract(slabs, slab_row_start, cptr, m=m,
+                                nnz_cap=nnz_cap)
+
+    if f64:
+        return jax.lax.cond(ok, mosaic, xla, None)
+    return mosaic(None)
+
+
 def finish_bucketed(plan: BucketPlan, main_out, vdtype):
     """Dispatch the extraction program (needs plan.class_caps/nnz_cap —
-    filled from the first run's single totals fetch)."""
+    filled from the first run's single totals fetch; the same first-run
+    readback also fetches the per-row counts that seed the Mosaic
+    extraction plan when the cost model picks it)."""
     crow, cptr, totals, slabs = main_out
     if plan.class_caps is None:
         t = np.asarray(totals)                    # the one first-run sync
         plan.class_caps = tuple(quantize(int(x)) if x else 1 for x in t)
         plan.nnz_c = int(t.sum())
         plan.nnz_cap = quantize(max(1, plan.nnz_c))
+        fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
+                   and plan.vwords in (1, 2)
+                   and (rf.on_tpu() or plan.dma_fill == "interpret"))
+        if fill_ok and plan.nnz_c:
+            plan_extract(plan, np.asarray(crow)[: plan.m])
+    if plan.ext is not None:
+        e = plan.ext
+        if e.dev is None:
+            e.dev = (jnp.asarray(e.win_row), jnp.asarray(e.runs))
+        ccol, cval = bucketed_extract_mosaic(
+            slabs, e.dev[0], e.dev[1], plan.dev_slab_start, cptr,
+            spec=(e.stride, e.nchunks, e.cap_rows, e.wrows),
+            m=plan.m_cap, nnz_cap=plan.nnz_cap,
+            interpret=(plan.dma_fill == "interpret"))
+        if jnp.dtype(vdtype) != cval.dtype:
+            cval = cval.astype(vdtype)
+        return cptr, ccol, cval
     ccol, cval = bucketed_extract(
         slabs, plan.dev_slab_start, cptr, m=plan.m_cap,
         nnz_cap=plan.nnz_cap)

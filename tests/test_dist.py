@@ -128,3 +128,44 @@ def test_dist_empty_trailing_shards(strategy):
     A = gen.random_uniform(9, nnz_per_row=3, seed=77)
     C = spgemm_dist(A, None, mesh, b_strategy=strategy)
     assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ["replicate", "allgather", "ragged"])
+def test_dist_esc_engine_still_works(strategy):
+    """The flat ESC shard kernel remains as differential fallback."""
+    mesh = _mesh(4)
+    A = gen.banded(120, band=9, nnz_per_row=5, seed=21)
+    C = spgemm_dist(A, None, mesh, b_strategy=strategy, engine="esc")
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_dist_bucketed_vs_esc_differential():
+    mesh = _mesh(8)
+    A = gen.powerlaw(300, avg_nnz=5, seed=31)
+    Cb = spgemm_dist(A, None, mesh, b_strategy="ragged",
+                     engine="bucketed")
+    Ce = spgemm_dist(A, None, mesh, b_strategy="ragged", engine="esc")
+    assert Cb.equals(Ce, tol=1e-9)
+
+
+def test_dist_chunked_fallback():
+    """A shard plan overflow must fall back to row-chunked execution."""
+    from mh_spgemm_tpu.parallel import spgemm_dist as sd
+    mesh = _mesh(4)
+    A = gen.powerlaw(300, avg_nnz=5, seed=33)
+    ref = oracle_spgemm(A, A)
+    calls = {"n": 0}
+    real = sd._spgemm_dist_bucketed
+
+    def flaky(Asub, B, mesh_, config, b_strategy, state):
+        calls["n"] += 1
+        if calls["n"] == 1 and Asub.M == A.M:
+            raise ValueError("padded slab exceeds int32 (simulated)")
+        return real(Asub, B, mesh_, config, b_strategy, state)
+
+    sd._spgemm_dist_bucketed, orig = flaky, real
+    try:
+        C = sd.spgemm_dist(A, None, mesh, b_strategy="allgather")
+    finally:
+        sd._spgemm_dist_bucketed = orig
+    assert calls["n"] >= 2 and C.equals(ref, tol=1e-9)
