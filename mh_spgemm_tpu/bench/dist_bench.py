@@ -22,7 +22,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mh-spgemm-tpu-dist")
     p.add_argument("matrix", nargs="?", default="scircuit")
     p.add_argument("--strategy", default="ragged",
-                   choices=["replicate", "allgather", "ragged"])
+                   choices=["replicate", "allgather", "ragged",
+                            "ragged_overlap"])
     p.add_argument("--engine", default="bucketed",
                    choices=["bucketed", "esc"])
     p.add_argument("--iters", type=int, default=3)

@@ -354,9 +354,11 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     active = np.flatnonzero(p_row > 0).astype(np.int32)
     classes: List[ClassPlan] = []
     if active.size == 0 and not forced:
-        return BucketPlan(m=m, m_cap=quantize(max(1, m)), classes=classes,
+        m_cap = quantize(max(1, m))
+        return BucketPlan(m=m, m_cap=m_cap, classes=classes,
                           intprod=intprod, dma_fill=dma_fill,
-                          vwords=vwords)
+                          vwords=vwords,
+                          slab_row_start=np.zeros(m_cap, np.int32))
 
     # width grid: powers of two plus 1.5x intermediates (8,12,16,24,32,...)
     # — halves worst-case slot padding (the dominant per-slot cost is the

@@ -36,6 +36,25 @@ from ..ops.symbolic import _run_starts2
 from .mesh import ROWS
 
 
+def _put(x: np.ndarray, sharding) -> jax.Array:
+    """device_put that also works when the sharding spans processes
+    (multi-host mesh): every process holds the full host array, so the
+    global array is assembled from per-shard slices of it."""
+    if all(d.process_index == jax.process_index()
+           for d in sharding.device_set):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def _to_np(x) -> np.ndarray:
+    """Fetch a (possibly non-fully-addressable) array to host numpy."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 @dataclasses.dataclass
 class RowPartition:
     """Host-side padded row partition of a CSR matrix: shard d owns rows
@@ -274,6 +293,9 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
 
     if engine == "bucketed":
         try:
+            if b_strategy == "ragged_overlap":
+                return _spgemm_dist_ragged_overlap(A, B, mesh, config,
+                                                   state)
             return _spgemm_dist_bucketed(A, B, mesh, config, b_strategy,
                                          state)
         except ValueError:
@@ -302,15 +324,15 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
     shard = NamedSharding(mesh, P(ROWS))
     repl = NamedSharding(mesh, P())
 
-    a_ptr = jax.device_put(part.ptr, shard)
-    a_col = jax.device_put(part.col, shard)
-    a_val = jax.device_put(part.val, shard)
-    a_nnz = jax.device_put(part.nnz, shard)
+    a_ptr = _put(part.ptr, shard)
+    a_col = _put(part.col, shard)
+    a_val = _put(part.val, shard)
+    a_nnz = _put(part.nnz, shard)
 
     if b_strategy == "replicate":
-        b_ptr = jax.device_put(B.ptr.astype(np.int32), repl)
-        b_col = jax.device_put(B.col.astype(np.int32), repl)
-        b_val = jax.device_put(B.val.astype(vdtype), repl)
+        b_ptr = _put(B.ptr.astype(np.int32), repl)
+        b_col = _put(B.col.astype(np.int32), repl)
+        b_val = _put(B.val.astype(vdtype), repl)
 
         def wrapped(a_ptr, a_col, a_val, a_nnz, b_ptr, b_col, b_val):
             return _shard_esc_kernel(
@@ -328,9 +350,9 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
     elif b_strategy == "allgather":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         RB, bcap = bpart.rows_per_shard, bpart.nnz_cap
-        b_ptr_l = jax.device_put(bpart.ptr, shard)
-        b_col_l = jax.device_put(bpart.col, shard)
-        b_val_l = jax.device_put(bpart.val, shard)
+        b_ptr_l = _put(bpart.ptr, shard)
+        b_col_l = _put(bpart.col, shard)
+        b_val_l = _put(bpart.val, shard)
 
         def wrapped(a_ptr, a_col, a_val, a_nnz, b_ptr_l, b_col_l, b_val_l):
             # reassemble B from every shard's block over ICI
@@ -358,12 +380,12 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
     elif b_strategy == "ragged":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         fp = plan_ragged_fetch(A, B, part, bpart)
-        b_col_l = jax.device_put(bpart.col, shard)
-        b_val_l = jax.device_put(bpart.val, shard)
-        send_src = jax.device_put(fp.send_src, shard)       # [D][D, v_cap]
-        recv_start = jax.device_put(fp.recv_start, shard)   # [D][n_cap]
-        recv_len = jax.device_put(fp.recv_len, shard)
-        a_remap = jax.device_put(
+        b_col_l = _put(bpart.col, shard)
+        b_val_l = _put(bpart.val, shard)
+        send_src = _put(fp.send_src, shard)       # [D][D, v_cap]
+        recv_start = _put(fp.recv_start, shard)   # [D][n_cap]
+        recv_len = _put(fp.recv_len, shard)
+        a_remap = _put(
             fp.a_col_remap.reshape(D, part.nnz_cap), shard)
 
         def wrapped(a_ptr, a_col, a_val, a_nnz, b_col_l, b_val_l,
@@ -422,7 +444,7 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
 
     shard = NamedSharding(mesh, P(ROWS))
     repl = NamedSharding(mesh, P())
-    a_val = jax.device_put(part.val, shard)
+    a_val = _put(part.val, shard)
 
     if b_strategy == "replicate":
         plans = bucketed_ops.plan_buckets_sharded(A.ptr, A.col, D, R,
@@ -454,9 +476,9 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
     for i in range(len(specs)):
         for j, name in enumerate(("rows_g", "ent_dst", "ent_src",
                                   "ent_len", "ent_aidx")):
-            flat.append(jax.device_put(np.stack(
+            flat.append(_put(np.stack(
                 [getattr(p.classes[i], name) for p in plans]), shard))
-    slab_start = jax.device_put(
+    slab_start = _put(
         np.stack([p.slab_row_start for p in plans]), shard)
 
     def unstack(fl):
@@ -467,8 +489,8 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
                              m_cap=m_cap, nnz_cap=total, rows_local=R)
 
     if b_strategy == "replicate":
-        b_col = jax.device_put(B.col.astype(np.int32), repl)
-        b_val = jax.device_put(B.val.astype(vdtype), repl)
+        b_col = _put(B.col.astype(np.int32), repl)
+        b_val = _put(B.val.astype(vdtype), repl)
 
         def wrapped(a_val, slab_start, b_col, b_val, *fl):
             return kern(unstack(fl), a_val, slab_start[0], b_col, b_val)
@@ -476,8 +498,8 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         in_specs = (P(ROWS), P(ROWS), P(), P()) + (P(ROWS),) * len(flat)
         args = (a_val, slab_start, b_col, b_val, *flat)
     elif b_strategy == "allgather":
-        b_col_l = jax.device_put(bpart.col, shard)
-        b_val_l = jax.device_put(bpart.val, shard)
+        b_col_l = _put(bpart.col, shard)
+        b_val_l = _put(bpart.val, shard)
 
         def wrapped(a_val, slab_start, b_col_l, b_val_l, *fl):
             bc = jax.lax.all_gather(b_col_l[0], ROWS).reshape(-1)
@@ -487,9 +509,9 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         in_specs = (P(ROWS),) * 4 + (P(ROWS),) * len(flat)
         args = (a_val, slab_start, b_col_l, b_val_l, *flat)
     else:                                       # ragged
-        b_col_l = jax.device_put(bpart.col, shard)
-        b_val_l = jax.device_put(bpart.val, shard)
-        send_src = jax.device_put(fp.send_src, shard)
+        b_col_l = _put(bpart.col, shard)
+        b_val_l = _put(bpart.val, shard)
+        send_src = _put(fp.send_src, shard)
 
         def wrapped(a_val, slab_start, b_col_l, b_val_l, send_src, *fl):
             pc = b_col_l[0][send_src[0]]
@@ -511,6 +533,172 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         state.update(fn=fn, args=args, R=R, total=total)
     return _assemble(A, B, D, R, total, crow_nnz, col_cap, val_cap,
                      nnz_tot)
+
+
+def _shard_bucketed_overlap_kernel(local_arrays, halo_arrays, a_val,
+                                   slab_start, b_col_l, b_val_l,
+                                   send_src, *, specs_l, specs_h,
+                                   m_cap: int, nnz_cap: int,
+                                   rows_local: int):
+    """Overlapped ragged shard kernel: the halo ``all_to_all`` is issued
+    FIRST but its result is consumed only by the halo-row stage, so
+    XLA's async-collective scheduling runs the exchange over ICI/DCN
+    concurrently with the local-row stage's compute (SURVEY.md §5.8:
+    remote fetch overlapped with local accumulation).  Local-only rows
+    and halo rows are disjoint, so one merged extraction emits the CSR.
+    """
+    a_val = a_val.reshape(-1)
+    dummy_pairs = jnp.zeros((1, 128), jnp.int32)
+    # start the exchange (async on TPU): pack host-planned payloads
+    pc = b_col_l[0][send_src[0]]
+    pv = b_val_l[0][send_src[0]]
+    rc = jax.lax.all_to_all(pc, ROWS, split_axis=0, concat_axis=0)
+    rv = jax.lax.all_to_all(pv, ROWS, split_axis=0, concat_axis=0)
+    # stage 1: rows whose every reference is shard-local — depends only
+    # on the local block, overlaps the in-flight exchange
+    crow1, _, _, slabs1 = bucketed_ops.bucketed_main(
+        local_arrays, a_val, b_col_l[0], b_val_l[0], dummy_pairs,
+        specs=specs_l, m=m_cap)
+    # stage 2: halo rows against the [local | halo] payload layout
+    bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
+    bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
+    crow2, _, _, slabs2 = bucketed_ops.bucketed_main(
+        halo_arrays, a_val, bc, bv, dummy_pairs,
+        specs=specs_h, m=m_cap)
+    crow = crow1 + crow2                      # disjoint row sets
+    cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(crow)])
+    ccol, cval = bucketed_ops.bucketed_extract(
+        slabs1 + slabs2, slab_start.reshape(-1), cptr, m=m_cap,
+        nnz_cap=nnz_cap)
+    return (crow[:rows_local][None], ccol[None], cval[None],
+            cptr[m_cap].reshape(1))
+
+
+def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
+                                config: SpGEMMConfig,
+                                state: Optional[dict]) -> CSR:
+    """Plan and dispatch the overlapped ragged-bucketed path."""
+    D = mesh.devices.size
+    vdtype = config.vdtype
+    part = partition_rows(A, D, value_dtype=vdtype)
+    R = part.rows_per_shard
+    blens = np.diff(B.ptr).astype(np.int64)
+    per_nnz = blens[A.col]
+    caps = []
+    for d in range(D):
+        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        caps.append(int(per_nnz[A.ptr[lo]:A.ptr[hi]].sum())
+                    if hi > lo else 0)
+    total = quantize(max(1, max(caps)))
+    require(total < 2**31, SpGEMMError,
+            "per-shard product stream exceeds int32")
+
+    bpart = partition_rows(B, D, value_dtype=vdtype)
+    RB = bpart.rows_per_shard
+    fp = plan_ragged_fetch(A, B, part, bpart)
+    n_cap = fp.recv_len.shape[1]
+
+    # per shard: split rows into local-only vs halo; build per-stage
+    # column arrays where the OTHER stage's entries hit a zero-length
+    # sentinel row (excluded from that stage's classes)
+    loc_cols, halo_cols = [], []
+    loc_starts, loc_lens, halo_starts, halo_lens = [], [], [], []
+    for d in range(D):
+        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        k = int(A.ptr[hi] - A.ptr[lo]) if hi > lo else 0
+        cols = A.col[A.ptr[lo]:A.ptr[lo] + k].astype(np.int64)
+        is_remote = (cols // RB) != d
+        row_of = np.repeat(np.arange(max(hi - lo, 0)),
+                           np.diff(A.ptr[lo:hi + 1])) if hi > lo else \
+            np.zeros(0, np.int64)
+        halo_row = np.zeros(max(hi - lo, 1), bool)
+        if k:
+            np.maximum.at(halo_row, row_of, is_remote)
+        ent_is_halo = halo_row[row_of] if k else np.zeros(0, bool)
+        # stage-1 layout: local block CSR + zero-length sentinel (halo
+        # rows' entries land there and fall out of stage-1's classes)
+        base = B.ptr[d * RB] if d * RB < B.M else B.ptr[-1]
+        loc_cols.append(np.where(ent_is_halo, B.M, cols).astype(np.int32))
+        loc_starts.append(np.concatenate([B.ptr[:-1] - base, [0]]))
+        loc_lens.append(np.concatenate([blens, [0]]))
+        # stage-2 layout: needed-row payload + sentinel
+        hs = np.concatenate([fp.recv_start[d].astype(np.int64), [0]])
+        hl = np.concatenate([fp.recv_len[d].astype(np.int64), [0]])
+        sent2 = n_cap
+        hc = np.where(ent_is_halo, fp.a_col_remap[d][:k], sent2)
+        halo_cols.append(hc.astype(np.int32))
+        halo_starts.append(hs)
+        halo_lens.append(hl)
+    plans_l = bucketed_ops.plan_buckets_sharded(
+        A.ptr, A.col, D, R, b_starts=loc_starts, b_lens=loc_lens,
+        a_col_shards=loc_cols)
+    plans_h = bucketed_ops.plan_buckets_sharded(
+        A.ptr, A.col, D, R, b_starts=halo_starts, b_lens=halo_lens,
+        a_col_shards=halo_cols)
+    specs_l = tuple(c.spec for c in plans_l[0].classes)
+    specs_h = tuple(c.spec for c in plans_h[0].classes)
+    m_cap = plans_l[0].m_cap
+    area1 = sum(c.W * c.rb * c.nchunks for c in plans_l[0].classes)
+    # merged slab offsets: halo-stage slabs live after the local-stage
+    # slabs in the extraction's concatenated view; a row belongs to
+    # exactly one stage, so the sum with a membership-gated offset is
+    # exact (rows absent from both stay 0 and have crow 0)
+    slab_start = np.stack([
+        plans_l[d].slab_row_start
+        + np.where(_rows_in(plans_h[d]),
+                   plans_h[d].slab_row_start + area1, 0)
+        for d in range(D)]).astype(np.int32)
+
+    shard = NamedSharding(mesh, P(ROWS))
+    a_val = _put(part.val, shard)
+    b_col_l = _put(bpart.col, shard)
+    b_val_l = _put(bpart.val, shard)
+    send_src = _put(fp.send_src, shard)
+    narr = 5
+    flat_l, flat_h = [], []
+    for plans, flat in ((plans_l, flat_l), (plans_h, flat_h)):
+        for i in range(len(plans[0].classes)):
+            for name in ("rows_g", "ent_dst", "ent_src", "ent_len",
+                         "ent_aidx"):
+                flat.append(_put(np.stack(
+                    [getattr(p.classes[i], name) for p in plans]), shard))
+    slab_start_d = _put(slab_start, shard)
+
+    def unstack(fl, n):
+        return [tuple(fl[i * narr + j][0] for j in range(narr))
+                for i in range(n)]
+
+    nl = len(specs_l)
+
+    def wrapped(a_val, slab_start, b_col_l, b_val_l, send_src, *fl):
+        return _shard_bucketed_overlap_kernel(
+            unstack(fl[:nl * narr], nl), unstack(fl[nl * narr:],
+                                                 len(specs_h)),
+            a_val, slab_start[0], b_col_l, b_val_l, send_src,
+            specs_l=specs_l, specs_h=specs_h, m_cap=m_cap,
+            nnz_cap=total, rows_local=R)
+
+    args = (a_val, slab_start_d, b_col_l, b_val_l, send_src,
+            *flat_l, *flat_h)
+    fn = jax.jit(jax.shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(P(ROWS),) * len(args),
+        out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
+    crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
+    if state is not None:
+        state.update(fn=fn, args=args, R=R, total=total)
+    return _assemble(A, B, D, R, total, crow_nnz, col_cap, val_cap,
+                     nnz_tot)
+
+
+def _rows_in(plan) -> np.ndarray:
+    """Bool[m_cap]: rows that appear in any class of the plan."""
+    out = np.zeros(plan.m_cap, bool)
+    for c in plan.classes:
+        rows = c.rows_g.reshape(-1)
+        out[rows[rows >= 0]] = True
+    return out
 
 
 def _dist_chunked(A: CSR, B: CSR, mesh: Mesh, config: SpGEMMConfig,
@@ -556,10 +744,10 @@ def _dist_chunked(A: CSR, B: CSR, mesh: Mesh, config: SpGEMMConfig,
 def _assemble(A: CSR, B: CSR, D: int, R: int, total: int,
               crow_nnz, col_cap, val_cap, nnz_tot) -> CSR:
     """Host assembly: trim each shard's capacity block to its true nnz."""
-    crow_nnz = np.asarray(crow_nnz).reshape(D * R)[:A.M]
-    nnz_tot = np.asarray(nnz_tot).reshape(D)
-    col_cap = np.asarray(col_cap).reshape(D, total)
-    val_cap = np.asarray(val_cap).reshape(D, total)
+    crow_nnz = _to_np(crow_nnz).reshape(D * R)[:A.M]
+    nnz_tot = _to_np(nnz_tot).reshape(D)
+    col_cap = _to_np(col_cap).reshape(D, total)
+    val_cap = _to_np(val_cap).reshape(D, total)
     cols = np.concatenate([col_cap[d, :nnz_tot[d]] for d in range(D)]) \
         if nnz_tot.sum() else np.zeros((0,), np.int32)
     vals = np.concatenate([val_cap[d, :nnz_tot[d]] for d in range(D)]) \

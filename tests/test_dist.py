@@ -169,3 +169,47 @@ def test_dist_chunked_fallback():
     finally:
         sd._spgemm_dist_bucketed = orig
     assert calls["n"] >= 2 and C.equals(ref, tol=1e-9)
+
+
+def test_dist_multiprocess():
+    """TWO jax processes over a loopback coordinator: exercises
+    init_multihost and the cross-process (DCN-path) mesh that the
+    single-process virtual mesh cannot (VERDICT round-1 item 8)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, "scripts/dist_worker.py", str(port), str(i),
+         "2", "2"], stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=".") for i in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-2000:]}"
+        assert f"proc {i}: multiprocess dist OK" in out
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_dist_ragged_overlap_matches_oracle(n):
+    """Overlapped ragged path: local-only rows compute while the halo
+    exchange is in flight; halo rows follow (SURVEY.md §5.8)."""
+    mesh = _mesh(n)
+    for A in (gen.banded(120, band=9, nnz_per_row=5, seed=21),
+              gen.powerlaw(300, avg_nnz=5, seed=22),
+              gen.random_uniform(101, nnz_per_row=4, seed=24)):
+        C = spgemm_dist(A, None, mesh, b_strategy="ragged_overlap")
+        assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_dist_ragged_overlap_state_reuse():
+    mesh = _mesh(4)
+    A = gen.banded(100, band=7, nnz_per_row=4, seed=30)
+    st = {}
+    ref = oracle_spgemm(A, A)
+    for _ in range(2):
+        C = spgemm_dist(A, None, mesh, b_strategy="ragged_overlap",
+                        state=st)
+        assert C.equals(ref, tol=1e-9)
