@@ -44,6 +44,7 @@ from .errors import ShapeMismatchError, SpGEMMError, require
 from .ops import blockdense as blockdense_ops
 from .ops import bucketed as bucketed_ops
 from .ops import mask as mask_ops
+from .ops import masked_classes as masked_ops
 from .ops import numeric as numeric_ops
 from .ops import symbolic as symbolic_ops
 from .ops.shapes import quantize, quantize_pow2
@@ -324,6 +325,93 @@ def spgemm_bucketed(A: CSR, B: CSR,
 
 
 @dataclasses.dataclass
+class MaskedState:
+    """Cached per-(A, B) state for the class-based masked engine."""
+
+    plan: bucketed_ops.BucketPlan
+    extras: object
+    tiles_per_row: object
+    dev: Optional[tuple] = None         # uploaded operand arrays
+
+
+def spgemm_masked(A: CSR, B: CSR,
+                  config: SpGEMMConfig = DEFAULT_CONFIG,
+                  timing: Optional[Timing] = None,
+                  state: Optional[MaskedState] = None
+                  ) -> tuple[DeviceCSR, MaskedState]:
+    """MH-faithful masked SpGEMM on the class machinery
+    (ops/masked_classes.py): tile-mask formation, exact OR/popcount
+    symbolic, popcount-rank-guided numeric — all inside the bucketed
+    engine's fixed-width row classes.  No product-count cap: runs
+    everything the bucketed engine runs (VERDICT round-1 item 6).
+    """
+    require(A.N == B.M, ShapeMismatchError, "A.N must equal B.M")
+    timing = timing if timing is not None else Timing()
+    import jax.numpy as _jnp
+
+    with PhaseTimer.phase(timing, "symbolic_binning"):
+        if state is None:
+            plan = bucketed_ops.plan_buckets(
+                A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
+                area_cap=config.bucket_area_cap, dma_fill="off")
+            # extraction may still use the Mosaic path (expansion fill
+            # stays off: the masked chunk interleaves mask lookups)
+            plan.dma_fill = config.dma_fill
+            plan.vwords = {"float64": 2, "float32": 1}.get(
+                str(_jnp.dtype(config.vdtype)), 2)
+            tpr, extras = masked_ops.plan_masked_extras(
+                plan, A.ptr, A.col, B.ptr, B.col)
+            state = MaskedState(plan=plan, extras=extras,
+                                tiles_per_row=tpr)
+        plan = state.plan
+
+    if A.nnz == 0 or B.nnz == 0 or not plan.classes:
+        C = DeviceCSR(M=A.M, N=B.N,
+                      ptr=_jnp.zeros((A.M + 1,), _jnp.int32),
+                      col=_jnp.zeros((0,), _jnp.int32),
+                      val=_jnp.zeros((0,), config.vdtype), nnz_true=0)
+        return C, state
+
+    # -- Form_mask_matrix_B: tile bitmap of B (excluded from the total,
+    # like the reference, src/Timing.cpp:39-42) -------------------------
+    with PhaseTimer.phase(timing, "form_mask_matrix_b"):
+        if state.dev is None:
+            a_val = _jnp.asarray(A.val.astype(config.vdtype))
+            a_col = _jnp.asarray(A.col)
+            b_ptr = _jnp.asarray(B.ptr)
+            b_col = _jnp.asarray(B.col)
+            b_val = _jnp.asarray(B.val.astype(config.vdtype))
+            st = mask_ops.mask_stage(b_ptr, b_col, b_ptr, b_col)
+            state.dev = (a_val, a_col, b_col, b_val,
+                         st.mask.tileptr, _jnp.asarray(state.tiles_per_row),
+                         st.mask.tilecol, st.mask.tilemask)
+            bucketed_ops.upload_plan(plan)
+        (a_val, a_col, b_col, b_val, btileptr, tpr_d, tilecol,
+         tilemask) = state.dev
+
+    with PhaseTimer.phase(timing, "calculate_c_nnz"):
+        specs = tuple(
+            c.spec[:6] + (e["Wt"], e["t_hold"])
+            for c, e in zip(plan.classes, state.extras))
+        main_out = masked_ops.masked_main(
+            plan.dev, a_val, b_col, b_val, a_col, btileptr, tpr_d,
+            tilecol, tilemask, specs=specs, m=plan.m_cap)
+        if config.profile:
+            _fence(main_out[1])
+
+    with PhaseTimer.phase(timing, "malloc_c_col_val"):
+        cptr, ccol, cval = bucketed_ops.finish_bucketed(
+            plan, main_out, config.vdtype)
+
+    with PhaseTimer.phase(timing, "numeric"):
+        _fence(cval)
+
+    C = DeviceCSR(M=A.M, N=B.N, ptr=cptr, col=ccol, val=cval,
+                  nnz_true=plan.nnz_c)
+    return C, state
+
+
+@dataclasses.dataclass
 class BlockDenseState:
     """Cached per-(A, B) state for the MXU block-dense engine."""
 
@@ -488,6 +576,9 @@ def spgemm_host(A: CSR, B: Optional[CSR] = None,
         return C.host()
     if mode == "blockdense":
         C, _ = spgemm_blockdense(A, B, config=config, timing=timing)
+        return C.host()
+    if mode == "masked":
+        C, _ = spgemm_masked(A, B, config=config, timing=timing)
         return C.host()
     dA = A.device(config.vdtype, pad=True)
     dB = B.device(config.vdtype, pad=True) if B is not A else dA

@@ -3,17 +3,24 @@
 catalog (mh_spgemm_tpu.bench.structured), every engine vs the scipy
 oracle.  Writes data/SOAK_STRUCTURED.json.
 
-Run: JAX_PLATFORMS=cpu python scripts/soak_structured.py [--fast]
+Each family runs in its OWN subprocess: 2000 engine runs over hundreds
+of distinct shapes grow the in-process XLA jit cache without bound (an
+earlier single-process run died in LLVM with ENOMEM), so the parent
+shards by family and merges the partial reports.
+
+Run: python scripts/soak_structured.py [--fast] [--family NAME]
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 
-def main() -> int:
-    fast = "--fast" in sys.argv
+def run_family(fam: str, fast: bool) -> dict:
+    """Child-process entry: run one family's cases over all engines."""
     import jax
 
     # the axon sitecustomize ignores JAX_PLATFORMS from the environment;
@@ -23,14 +30,11 @@ def main() -> int:
     from mh_spgemm_tpu import SpGEMMConfig, oracle_spgemm, spgemm_host
     from mh_spgemm_tpu.bench import structured
 
-    cases = structured.catalog()
-    if fast:
-        cases = cases[::10]
+    count = structured.FAMILIES[fam][1]
+    idxs = range(0, count, 10 if fast else 1)
     engines = ("bucketed", "blockdense", "masked", "esc", "auto")
-    t0 = time.time()
-    fails = []
-    per_family = {}
-    for idx, (fam, i) in enumerate(cases):
+    fails, errors, n = [], [], 0
+    for i in idxs:
         A, B = structured.make_case(fam, i)
         ref = oracle_spgemm(A, B)
         for mode in engines:
@@ -40,32 +44,63 @@ def main() -> int:
                 ok = C.equals(ref, tol=1e-9)
             except Exception as e:  # noqa: BLE001
                 ok = False
-                per_family.setdefault(fam, {}).setdefault("errors", []) \
-                    .append(f"{i}/{mode}: {type(e).__name__}: {e}")
+                errors.append(f"{i}/{mode}: {type(e).__name__}: {e}")
             if not ok:
-                fails.append((fam, i, mode))
-        per_family.setdefault(fam, {}).setdefault("n", 0)
-        per_family[fam]["n"] += 1
-        if (idx + 1) % 40 == 0:
-            print(f"[{idx + 1}/{len(cases)}] fails={len(fails)} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                fails.append(f"{fam}/{i}/{mode}")
+        n += 1
+    return {"family": fam, "cases": n, "failures": fails,
+            "errors": errors}
 
+
+def main() -> int:
+    if "--run-family" in sys.argv:
+        fam = sys.argv[sys.argv.index("--run-family") + 1]
+        out = run_family(fam, "--fast" in sys.argv)
+        print("RESULT" + json.dumps(out))
+        return 0
+
+    from mh_spgemm_tpu.bench import structured  # light import, no jax use
+
+    fast = "--fast" in sys.argv
+    fams = ([sys.argv[sys.argv.index("--family") + 1]]
+            if "--family" in sys.argv else list(structured.FAMILIES))
+    t0 = time.time()
+    parts = []
+    for fam in fams:
+        cmd = [sys.executable, "scripts/soak_structured.py",
+               "--run-family", fam] + (["--fast"] if fast else [])
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("RESULT")]
+        if not line:
+            parts.append({"family": fam, "cases": 0,
+                          "failures": [f"{fam}/ALL/crashed rc={p.returncode}"],
+                          "errors": [p.stderr[-500:]]})
+        else:
+            parts.append(json.loads(line[0][len("RESULT"):]))
+        print(f"{fam}: cases={parts[-1]['cases']} "
+              f"fails={len(parts[-1]['failures'])} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    fails = [f for p_ in parts for f in p_["failures"]]
     report = {
         "metric": "structured_soak",
-        "cases": len(cases),
-        "engines": list(engines),
-        "runs": len(cases) * len(engines),
-        "failures": [f"{f}/{i}/{m}" for f, i, m in fails],
-        "per_family": {k: v.get("n", 0) for k, v in per_family.items()},
-        "errors": {k: v["errors"] for k, v in per_family.items()
-                   if "errors" in v},
+        "cases": sum(p_["cases"] for p_ in parts),
+        "engines": ["bucketed", "blockdense", "masked", "esc", "auto"],
+        "runs": sum(p_["cases"] for p_ in parts) * 5,
+        "failures": fails,
+        "per_family": {p_["family"]: p_["cases"] for p_ in parts},
+        "errors": {p_["family"]: p_["errors"] for p_ in parts
+                   if p_["errors"]},
         "seconds": round(time.time() - t0, 1),
     }
     with open("data/SOAK_STRUCTURED.json", "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({k: report[k] for k in
-                      ("cases", "runs", "seconds")}
-                     | {"failures": len(fails)}))
+    print(json.dumps({"cases": report["cases"], "runs": report["runs"],
+                      "seconds": report["seconds"],
+                      "failures": len(fails)}))
     return 1 if fails else 0
 
 

@@ -159,3 +159,32 @@ def test_chunked_retries_on_planner_overflow(monkeypatch):
     C = pl_mod.spgemm_chunked(A, A, max_products=1 << 20)
     assert C.equals(oracle_spgemm(A, A), tol=1e-9)
     assert calls["n"] >= 3      # the failed chunk re-ran as two halves
+
+
+def test_masked_classes_no_product_cap():
+    """The class-based masked engine has no masked_max_products cap:
+    a stream larger than a tiny cap still runs (VERDICT item 6)."""
+    from mh_spgemm_tpu.pipeline import spgemm_masked
+    A = gen.banded(300, band=14, nnz_per_row=10, seed=13)
+    assert A.intprod(A) > 16_000     # over a 16k cap stand-in
+    cfg = SpGEMMConfig(mode="masked", masked_max_products=16_000)
+    C, st = spgemm_masked(A, A, config=cfg)
+    assert C.host().equals(oracle_spgemm(A, A), tol=1e-9)
+    # warm state reuse
+    C2, _ = spgemm_masked(A, A, config=cfg, state=st)
+    assert C2.host().equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_masked_classes_f32_and_rect():
+    from mh_spgemm_tpu import CSR
+    from mh_spgemm_tpu.pipeline import spgemm_masked
+    rng = np.random.default_rng(77)
+    A = CSR.from_coo(80, 120, rng.integers(0, 80, 400),
+                     rng.integers(0, 120, 400),
+                     rng.standard_normal(400), sum_duplicates=True)
+    B = CSR.from_coo(120, 60, rng.integers(0, 120, 500),
+                     rng.integers(0, 60, 500),
+                     rng.standard_normal(500), sum_duplicates=True)
+    C, _ = spgemm_masked(A, B, config=SpGEMMConfig(mode="masked",
+                                                   value_dtype="float32"))
+    assert C.host().equals(oracle_spgemm(A, B), tol=1e-4)
