@@ -106,3 +106,39 @@ def test_reference_bundled_matrix():
 def test_extract_matrix_name():
     assert extract_matrix_name("/a/b/cage12.mtx") == "cage12"
     assert extract_matrix_name("x.mtx.gz") == "x"
+
+
+import os
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("name,scipy_kind", [
+    ("mm_spec_example.mtx", "general"),
+    ("sym_pattern8.mtx", "symmetric-pattern"),
+    ("herm4.mtx", "hermitian"),
+    ("skew4.mtx", "skew"),
+])
+def test_committed_fixture_matches_scipy(name, scipy_kind):
+    """Committed in-repo .mtx fixtures (not runtime-generated): parse
+    must agree EXACTLY with scipy.io.mmread's structure, and SpGEMM on
+    them must match the oracle (VERDICT round-1 item 9 — protocol
+    parity on files that live in git, not synthetic streams)."""
+    import scipy.io
+    import scipy.sparse
+    from mh_spgemm_tpu import SpGEMMConfig, oracle_spgemm, spgemm_host
+    from mh_spgemm_tpu.io.mmio import read_mtx
+
+    path = os.path.join(_FIXTURES, name)
+    A = read_mtx(path)
+    S = scipy.sparse.csr_matrix(np.real(scipy.io.mmread(path)))
+    S.sort_indices()
+    S.sum_duplicates()
+    np.testing.assert_array_equal(A.ptr, S.indptr)
+    np.testing.assert_array_equal(A.col, S.indices)
+    np.testing.assert_allclose(A.val, S.data, rtol=0, atol=0)
+    # full protocol: C = A @ A vs oracle, every engine
+    ref = oracle_spgemm(A, A)
+    for mode in ("bucketed", "masked", "esc"):
+        C = spgemm_host(A, None, config=SpGEMMConfig(mode=mode))
+        assert C.equals(ref, tol=1e-9), mode
