@@ -88,10 +88,12 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
             mode = choose_engine(A, B, config)
             if verbose:
                 print(f"auto engine: {mode}")
-        if mode in ("bucketed", "blockdense"):
-            from ..pipeline import spgemm_blockdense, spgemm_bucketed
-            run = (spgemm_bucketed if mode == "bucketed"
-                   else spgemm_blockdense)
+        if mode in ("bucketed", "blockdense", "masked"):
+            from ..pipeline import (spgemm_blockdense, spgemm_bucketed,
+                                    spgemm_masked)
+            run = {"bucketed": spgemm_bucketed,
+                   "blockdense": spgemm_blockdense,
+                   "masked": spgemm_masked}[mode]
             state = None
             for _ in range(warmup):
                 C, state = run(A, B, config=config, timing=Timing(),
@@ -132,7 +134,7 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
     res = BenchResult(name=name, m=A.M, n=B.N, nnz_a=A.nnz, nnz_c=nnz_c,
                       intprod=intprod, timing=bench_timing, gflops=gf,
                       nnzc_per_s=nnzc_rate)
-    if mode in ("bucketed", "blockdense"):
+    if mode in ("bucketed", "blockdense", "masked"):
         res.stats = state.plan.stats()
         # roofline-style audit: achieved cost per intermediate product vs
         # the measured per-element random-access floor (SURVEY.md §5.1's

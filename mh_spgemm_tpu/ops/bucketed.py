@@ -510,6 +510,39 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                       dma_fill=dma_fill, vwords=vwords)
 
 
+def estimate_cost_s(a_ptr: np.ndarray, a_col: np.ndarray,
+                    b_ptr: np.ndarray, min_width: int = 8,
+                    vwords: int = 2) -> float:
+    """Light host-side estimate of the bucketed engine's warm runtime in
+    seconds (no descriptor building) — drives the adaptive engine choice
+    (pipeline.choose_engine).  Sums the per-class measured-cost model:
+    Mosaic-fill classes at ~4 ns/slot, XLA-gather classes at
+    ~_GATHER_NS_PER_SLOT, plus ~30%% for extraction."""
+    blens = np.diff(b_ptr).astype(np.int64)
+    p_ent = blens[a_col]
+    cs = np.concatenate([[0], np.cumsum(p_ent)])
+    p_row = cs[a_ptr[1:]] - cs[a_ptr[:-1]]
+    active = p_row > 0
+    if not active.any():
+        return 0.0
+    p = p_row[active]
+    w = _width_class(p, min_width)
+    vcs = np.concatenate([[0], np.cumsum(p_ent > 0)])
+    vc = (vcs[a_ptr[1:]] - vcs[a_ptr[:-1]])[active]
+    stride = 1 + vwords
+    total = 0.0
+    fill_possible = rf.on_tpu() and int(b_ptr[-1]) * stride < 2**31
+    for W in np.unique(w):
+        sel = w == W
+        slots = int(W) * int(sel.sum())
+        avg_words = p[sel].sum() * stride / max(1, vc[sel].sum())
+        fill = (fill_possible and W <= _FILL_WORDS_CAP // stride
+                and avg_words >= _FILL_MIN_SPAN_WORDS)
+        per_slot = 4.0 if fill else _GATHER_NS_PER_SLOT
+        total += slots * per_slot * 1e-9
+    return total * 1.3
+
+
 def upload_plan(plan: BucketPlan) -> None:
     """H2D of the descriptor arrays (once per plan; the workspace-alloc
     analogue of Tool::allocate, src/Tool.cu:4-73)."""

@@ -473,16 +473,20 @@ def _pair_budget(config: SpGEMMConfig) -> int:
 def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
     """Adaptive engine selection — the TPU re-interpretation of the
     reference's adaptive grouping (``inc/Calculate_C_nnz.cuh:47-87``):
-    instead of tuning threads-per-row, pick the compute unit.  Compares a
-    host-side cost estimate of the MXU block-dense path against the
-    bucketed engine's measured ~31 ns/product."""
+    instead of tuning threads-per-row, pick the compute unit.  Compares
+    a host-side cost estimate of the MXU block-dense path against the
+    bucketed engine's per-class model (Mosaic-fill classes ~4 ns/slot,
+    XLA-gather classes ~26 ns/slot — ops/bucketed.estimate_cost_s)."""
     plan = blockdense_ops.plan_blockdense(
         A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
         max_pairs=_pair_budget(config))
-    intprod = A.intprod(B)
-    esc_s = intprod * 31e-9
+    vwords = {"float64": 2, "float32": 1}.get(
+        str(jnp.dtype(config.vdtype)), 2)
+    bkt_s = bucketed_ops.estimate_cost_s(
+        A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
+        vwords=vwords)
     mxu_s = blockdense_ops.blockdense_cost(plan, config.vdtype)
-    return "blockdense" if mxu_s < esc_s else "bucketed"
+    return "blockdense" if mxu_s < bkt_s else "bucketed"
 
 
 def spgemm_chunked(A: CSR, B: CSR,
