@@ -74,9 +74,10 @@ class SpGEMMConfig:
     # Bucketed engine (ops/bucketed.py): smallest row class width and the
     # per-chunk slot budget (rows_per_chunk * width <= area cap) — the
     # shared-memory-size analogue of the reference's hash capacity tables.
-    # min width 8 measured best on v5e: padding dominates gather cost for
-    # short rows, and narrow batched sorts are nearly free (scripts/micro2).
-    min_bucket_width: int = 8
+    # min width 2 measured best on v5e round 2 (per-slot cost dominates:
+    # scircuit 124->95 ms, webbase 792->647, GAP-road 581->479,
+    # wb-edu 881->742; narrow batched sorts are nearly free).
+    min_bucket_width: int = 2
     bucket_area_cap: int = 1 << 23
     # The masked (MH-faithful) engine materialises product-granularity
     # streams; cap them to stay within HBM (~21 GB observed at 29M on

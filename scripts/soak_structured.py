@@ -19,8 +19,8 @@ import time
 sys.path.insert(0, ".")
 
 
-def run_family(fam: str, fast: bool) -> dict:
-    """Child-process entry: run one family's cases over all engines."""
+def run_family(fam: str, fast: bool, lo: int = 0, hi: int = 10**9) -> dict:
+    """Child-process entry: run one slice of a family over all engines."""
     import jax
 
     # the axon sitecustomize ignores JAX_PLATFORMS from the environment;
@@ -30,8 +30,8 @@ def run_family(fam: str, fast: bool) -> dict:
     from mh_spgemm_tpu import SpGEMMConfig, oracle_spgemm, spgemm_host
     from mh_spgemm_tpu.bench import structured
 
-    count = structured.FAMILIES[fam][1]
-    idxs = range(0, count, 10 if fast else 1)
+    count = min(structured.FAMILIES[fam][1], hi)
+    idxs = range(lo, count, 10 if fast else 1)
     engines = ("bucketed", "blockdense", "masked", "esc", "auto")
     fails, errors, n = [], [], 0
     for i in idxs:
@@ -54,8 +54,12 @@ def run_family(fam: str, fast: bool) -> dict:
 
 def main() -> int:
     if "--run-family" in sys.argv:
-        fam = sys.argv[sys.argv.index("--run-family") + 1]
-        out = run_family(fam, "--fast" in sys.argv)
+        i = sys.argv.index("--run-family")
+        fam = sys.argv[i + 1]
+        lo, hi = ((int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+                  if len(sys.argv) > i + 3 and sys.argv[i + 2].isdigit()
+                  else (0, 10**9))
+        out = run_family(fam, "--fast" in sys.argv, lo, hi)
         print("RESULT" + json.dumps(out))
         return 0
 
@@ -64,22 +68,40 @@ def main() -> int:
     fast = "--fast" in sys.argv
     fams = ([sys.argv[sys.argv.index("--family") + 1]]
             if "--family" in sys.argv else list(structured.FAMILIES))
+    from mh_spgemm_tpu.bench.structured import FAMILIES
     t0 = time.time()
+    env = dict(os.environ, MHSPGEMM_COMPILE_CACHE=os.path.expanduser(
+        "~/.cache/mh_spgemm_tpu/xla_cpu_soak"))
     parts = []
+    SHARD = 10                  # cases per child: bounds the jit cache
     for fam in fams:
-        cmd = [sys.executable, "scripts/soak_structured.py",
-               "--run-family", fam] + (["--fast"] if fast else [])
-        p = subprocess.run(cmd, capture_output=True, text=True,
-                           cwd=os.path.dirname(os.path.dirname(
-                               os.path.abspath(__file__))))
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith("RESULT")]
-        if not line:
-            parts.append({"family": fam, "cases": 0,
-                          "failures": [f"{fam}/ALL/crashed rc={p.returncode}"],
-                          "errors": [p.stderr[-500:]]})
-        else:
-            parts.append(json.loads(line[0][len("RESULT"):]))
+        count = FAMILIES[fam][1]
+        merged = {"family": fam, "cases": 0, "failures": [], "errors": []}
+        for lo in range(0, count, SHARD):
+            cmd = [sys.executable, "scripts/soak_structured.py",
+                   "--run-family", fam, str(lo), str(lo + SHARD)]                 + (["--fast"] if fast else [])
+            try:
+                p = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=3600,
+                                   cwd=os.path.dirname(os.path.dirname(
+                                       os.path.abspath(__file__))),
+                                   env=env)
+                line = [ln for ln in p.stdout.splitlines()
+                        if ln.startswith("RESULT")]
+            except subprocess.TimeoutExpired:
+                p, line = None, []
+            if not line:
+                merged["failures"].append(
+                    f"{fam}/{lo}..{lo+SHARD}/crashed "
+                    f"rc={getattr(p, 'returncode', 'timeout')}")
+                if p is not None:
+                    merged["errors"].append(p.stderr[-400:])
+            else:
+                got = json.loads(line[0][len("RESULT"):])
+                merged["cases"] += got["cases"]
+                merged["failures"] += got["failures"]
+                merged["errors"] += got["errors"]
+        parts.append(merged)
         print(f"{fam}: cases={parts[-1]['cases']} "
               f"fails={len(parts[-1]['failures'])} "
               f"({time.time() - t0:.0f}s)", flush=True)
