@@ -142,8 +142,14 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
         if intprod and total_ms > 0:
             res.stats["ns_per_product"] = round(
                 total_ms * 1e6 / intprod, 2)
+            # roofline bound per slot: ~4 ns with the Mosaic ragged fill
+            # (run + step overheads at measured merge factors), ~26 ns on
+            # the XLA gather path — NOT the hardware DMA bound (~0.06),
+            # which a fully fused engine could still chase
+            any_fill = any(getattr(c, "fill", False)
+                           for c in getattr(state.plan, "classes", []))
             res.stats["floor_ns_per_product"] = (
-                31 if mode == "bucketed" else None)
+                4 if any_fill else 26) if mode != "blockdense" else None
     if check:
         C_ref, oracle_ms = timed_oracle_spgemm(A, B)
         res.oracle_ms = oracle_ms

@@ -550,8 +550,8 @@ def upload_plan(plan: BucketPlan) -> None:
         return
     plan.dev = [
         tuple(jnp.asarray(x) for x in
-              ((c.rows_g, c.ent_dst, c.ent_aidx, c.row_len, c.win_row,
-                c.runs) if c.fill else
+              ((c.rows_g, c.ent_dst, c.ent_len, c.ent_aidx, c.row_len,
+                c.win_row, c.runs) if c.fill else
                (c.rows_g, c.ent_dst, c.ent_src, c.ent_len, c.ent_aidx)))
         for c in plan.classes
     ]
@@ -671,32 +671,41 @@ def _chunk_tail(K, prod, *, rb: int, seg_passes: int):
     return oC, oV, nnz_row
 
 
-def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
-               a_val, b_col, b_val, *, W: int, rb: int,
-               hold_passes: int, seg_passes: int):
-    """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack.
-    XLA-gather expansion: two per-element gathers (the irreducible data
-    movement of this formulation — ~26 ns/slot measured)."""
+def _front_gather(ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col,
+                  b_val, *, W: int, rb: int, hold_passes: int):
+    """Shared XLA-gather expansion frontend: two per-element gathers
+    (the irreducible data movement of this formulation — ~26 ns/slot
+    measured).  Returns (K masked, bv, valid, AV)."""
     src0, valid, AV, off = _expand_seeds(
         ent_dst, ent_src, ent_len, ent_aidx, a_val,
         W=W, rb=rb, hold_passes=hold_passes)
     src = jnp.where(valid, src0 + off, 0).reshape(-1)
-
     K = jnp.where(valid, b_col[src].reshape(rb, W), _I32_MAX)  # gather #1
     bv = b_val[src].reshape(rb, W)                             # gather #2
+    return K, bv, valid, AV
+
+
+def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
+               a_val, b_col, b_val, *, W: int, rb: int,
+               hold_passes: int, seg_passes: int):
+    """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
+    K, bv, valid, AV = _front_gather(
+        ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col, b_val,
+        W=W, rb=rb, hold_passes=hold_passes)
     prod = jnp.where(valid, AV * bv, jnp.zeros((), b_val.dtype))
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
 
 
-def _chunk_fill(rows_g, ent_dst, ent_aidx, row_len, win_row, runs,
-                a_val, pairs2d, *, W: int, rb: int,
-                hold_passes: int, seg_passes: int, stride: int,
-                wrows: int, out_rows: int, vdtype, interpret: bool):
-    """One [rb, W] chunk with Mosaic ragged-fill expansion: the B columns
-    and value words stream in as contiguous interleaved runs at DMA
-    bandwidth (ops/ragged_fill.py) instead of per-element gathers.
-    Validity is one comparison against the plan-time per-row product
-    count; only the A-value broadcast needs a (single-value) hold-scan."""
+def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
+                pairs2d, *, W: int, rb: int, hold_passes: int,
+                stride: int, wrows: int, out_rows: int, vdtype,
+                interpret: bool):
+    """Shared Mosaic-fill expansion frontend: the B columns and value
+    words stream in as contiguous interleaved runs at DMA bandwidth
+    (ops/ragged_fill.py) instead of per-element gathers.  Validity is
+    one comparison against the plan-time per-row product count; only
+    the A-value broadcast needs a (single-value) hold-scan.
+    Returns (K masked, bv, valid, AV)."""
     slab3 = rf.ragged_fill(win_row, runs, pairs2d,
                            out_rows=out_rows, wrows=wrows,
                            interpret=interpret)
@@ -719,6 +728,18 @@ def _chunk_fill(rows_g, ent_dst, ent_aidx, row_len, win_row, runs,
     valid = (jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
              < row_len[:, None])
     K = jnp.where(valid, K0, _I32_MAX)
+    return K, bv, valid, AV
+
+
+def _chunk_fill(rows_g, ent_dst, ent_len, ent_aidx, row_len, win_row,
+                runs, a_val, pairs2d, *, W: int, rb: int,
+                hold_passes: int, seg_passes: int, stride: int,
+                wrows: int, out_rows: int, vdtype, interpret: bool):
+    """One [rb, W] chunk with the Mosaic ragged-fill expansion."""
+    K, bv, valid, AV = _front_fill(
+        ent_dst, ent_aidx, row_len, win_row, runs, a_val, pairs2d,
+        W=W, rb=rb, hold_passes=hold_passes, stride=stride, wrows=wrows,
+        out_rows=out_rows, vdtype=vdtype, interpret=interpret)
     prod = jnp.where(valid, AV * bv, jnp.zeros((), vdtype))
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
 

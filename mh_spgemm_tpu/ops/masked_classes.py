@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TILE_BITS
-from .bucketed import (BucketPlan, _expand_seeds, _hold_scan_rows,
-                       _log2_bound, _seg_sum_rows, _I32_MAX)
+from .bucketed import (BucketPlan, _front_fill, _front_gather,
+                       _hold_scan_rows, _log2_bound, _seg_sum_rows,
+                       _I32_MAX)
 from .shapes import quantize
 
 _TILE_LOW = (1 << TILE_BITS) - 1
@@ -97,12 +98,14 @@ def _entry_tile_seeds(ent_dst, ent_len, ent_aidx, a_col, btileptr,
         tdst.astype(jnp.int32), toff.astype(jnp.int32)
 
 
-def _chunk_masked(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
-                  a_val, b_col, b_val, a_col, btileptr, tiles_per_row,
+def _chunk_masked(front, rows_g, ent_dst, ent_len, ent_aidx,
+                  a_val, a_col, btileptr, tiles_per_row,
                   tilecol, tilemask, *, W: int, rb: int,
                   hold_passes: int, seg_passes: int, Wt: int,
                   t_hold: int):
-    """One [rb, W] chunk of the masked engine (see module docstring)."""
+    """One [rb, W] chunk of the masked engine (see module docstring).
+    ``front()`` supplies the product slab (K, bv, valid, AV) — either
+    the XLA-gather or the Mosaic ragged-fill expansion frontend."""
     # ---- tile slab: expand the mask matrix per entry -------------------
     tsrc, tlen, tdst, _ = _entry_tile_seeds(
         ent_dst, ent_len, ent_aidx, a_col, btileptr, tiles_per_row,
@@ -154,14 +157,9 @@ def _chunk_masked(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
     flat_base = u_base.reshape(-1)
     flat_mask = u_mask.reshape(-1).astype(jnp.uint32)
 
-    # ---- numeric: bucketed expansion + closed-form rank dst ------------
-    src0p, valid, AV, offp = _expand_seeds(
-        ent_dst, ent_src, ent_len, ent_aidx, a_val,
-        W=W, rb=rb, hold_passes=hold_passes)
-    srcp = jnp.where(valid, src0p + offp, 0).reshape(-1)
-    K = jnp.where(valid, b_col[srcp].reshape(rb, W), _I32_MAX)
-    bv = b_val[srcp].reshape(rb, W)
-    prod = jnp.where(valid, AV * bv, jnp.zeros((), b_val.dtype))
+    # ---- numeric: shared expansion frontend + closed-form rank dst -----
+    K, bv, valid, AV = front()
+    prod = jnp.where(valid, AV * bv, jnp.zeros((), bv.dtype))
 
     # per-slot tile position: entry's tile-slab base (hold-scanned) plus
     # the count of tile-column changes inside the entry segment
@@ -226,24 +224,48 @@ def _hold_back(values: jax.Array, ends: jax.Array, passes: int
     return out[:, ::-1]
 
 
-@functools.partial(jax.jit, static_argnames=("specs", "m"))
-def masked_main(class_arrays, a_val, b_col, b_val, a_col, btileptr,
-                tiles_per_row, tilecol, tilemask, *,
-                specs: Tuple[Tuple[int, ...], ...], m: int):
+@functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
+                                             "interpret"))
+def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
+                btileptr, tiles_per_row, tilecol, tilemask, *,
+                specs: Tuple[Tuple[int, ...], ...], m: int,
+                vdtype=None, interpret: bool = False):
     """Whole-matrix masked main program (mirrors bucketed_main; same
     output contract, so finish_bucketed / the extraction programs are
-    shared)."""
+    shared).  Classes whose plan carries a Mosaic fill use the
+    ragged-fill product-slab frontend; others the XLA gathers."""
     crow = jnp.zeros((m + 1,), jnp.int32)
     slabs = []
     totals = []
-    for (W, rb, nchunks, eb, hp, sp, Wt, th), arrs in zip(specs,
-                                                          class_arrays):
+    for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows, out_rows,
+         Wt, th), arrs in zip(specs, class_arrays):
         rows_g = arrs[0]
-        body = functools.partial(
-            _chunk_masked, a_val=a_val, b_col=b_col, b_val=b_val,
-            a_col=a_col, btileptr=btileptr, tiles_per_row=tiles_per_row,
-            tilecol=tilecol, tilemask=tilemask,
-            W=W, rb=rb, hold_passes=hp, seg_passes=sp, Wt=Wt, t_hold=th)
+        if fill:
+            def body(rows_g, ent_dst, ent_len, ent_aidx, row_len,
+                     win_row, runs, _W=W, _rb=rb, _hp=hp, _sp=sp,
+                     _Wt=Wt, _th=th, _stride=stride, _wrows=wrows,
+                     _out_rows=out_rows):
+                front = functools.partial(
+                    _front_fill, ent_dst, ent_aidx, row_len, win_row,
+                    runs, a_val, pairs2d, W=_W, rb=_rb, hold_passes=_hp,
+                    stride=_stride, wrows=_wrows, out_rows=_out_rows,
+                    vdtype=vdtype or b_val.dtype, interpret=interpret)
+                return _chunk_masked(
+                    front, rows_g, ent_dst, ent_len, ent_aidx, a_val,
+                    a_col, btileptr, tiles_per_row, tilecol, tilemask,
+                    W=_W, rb=_rb, hold_passes=_hp, seg_passes=_sp,
+                    Wt=_Wt, t_hold=_th)
+        else:
+            def body(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
+                     _W=W, _rb=rb, _hp=hp, _sp=sp, _Wt=Wt, _th=th):
+                front = functools.partial(
+                    _front_gather, ent_dst, ent_src, ent_len, ent_aidx,
+                    a_val, b_col, b_val, W=_W, rb=_rb, hold_passes=_hp)
+                return _chunk_masked(
+                    front, rows_g, ent_dst, ent_len, ent_aidx, a_val,
+                    a_col, btileptr, tiles_per_row, tilecol, tilemask,
+                    W=_W, rb=_rb, hold_passes=_hp, seg_passes=_sp,
+                    Wt=_Wt, t_hold=_th)
         if nchunks == 1:
             oC, oV, nnz_row = body(*(x[0] for x in arrs))
             oC, oV, nnz_row = oC[None], oV[None], nnz_row[None]

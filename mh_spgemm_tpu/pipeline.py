@@ -349,16 +349,15 @@ def spgemm_masked(A: CSR, B: CSR,
     timing = timing if timing is not None else Timing()
     import jax.numpy as _jnp
 
+    vwords = {"float64": 2, "float32": 1}.get(
+        str(_jnp.dtype(config.vdtype)), 0)
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
             plan = bucketed_ops.plan_buckets(
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
-                area_cap=config.bucket_area_cap, dma_fill="off")
-            # extraction may still use the Mosaic path (expansion fill
-            # stays off: the masked chunk interleaves mask lookups)
-            plan.dma_fill = config.dma_fill
-            plan.vwords = {"float64": 2, "float32": 1}.get(
-                str(_jnp.dtype(config.vdtype)), 2)
+                area_cap=config.bucket_area_cap,
+                vwords=vwords if vwords else 2,
+                dma_fill=config.dma_fill if vwords else "off")
             tpr, extras = masked_ops.plan_masked_extras(
                 plan, A.ptr, A.col, B.ptr, B.col)
             state = MaskedState(plan=plan, extras=extras,
@@ -382,20 +381,28 @@ def spgemm_masked(A: CSR, B: CSR,
             b_col = _jnp.asarray(B.col)
             b_val = _jnp.asarray(B.val.astype(config.vdtype))
             st = mask_ops.mask_stage(b_ptr, b_col, b_ptr, b_col)
-            state.dev = (a_val, a_col, b_col, b_val,
+            if bucketed_ops.needs_pairs(plan):
+                pairs = _jnp.asarray(bucketed_ops.build_pairs(
+                    B.col, B.val.astype(config.vdtype), vwords,
+                    bucketed_ops.pairs_wrows_max(plan)))
+            else:
+                pairs = _jnp.zeros((1, 128), _jnp.int32)
+            state.dev = (a_val, a_col, b_col, b_val, pairs,
                          st.mask.tileptr, _jnp.asarray(state.tiles_per_row),
                          st.mask.tilecol, st.mask.tilemask)
             bucketed_ops.upload_plan(plan)
-        (a_val, a_col, b_col, b_val, btileptr, tpr_d, tilecol,
+        (a_val, a_col, b_col, b_val, pairs, btileptr, tpr_d, tilecol,
          tilemask) = state.dev
 
     with PhaseTimer.phase(timing, "calculate_c_nnz"):
         specs = tuple(
-            c.spec[:6] + (e["Wt"], e["t_hold"])
+            c.spec + (e["Wt"], e["t_hold"])
             for c, e in zip(plan.classes, state.extras))
         main_out = masked_ops.masked_main(
-            plan.dev, a_val, b_col, b_val, a_col, btileptr, tpr_d,
-            tilecol, tilemask, specs=specs, m=plan.m_cap)
+            plan.dev, a_val, b_col, b_val, pairs, a_col, btileptr,
+            tpr_d, tilecol, tilemask, specs=specs, m=plan.m_cap,
+            vdtype=config.vdtype,
+            interpret=(config.dma_fill == "interpret"))
         if config.profile:
             _fence(main_out[1])
 

@@ -188,3 +188,15 @@ def test_masked_classes_f32_and_rect():
     C, _ = spgemm_masked(A, B, config=SpGEMMConfig(mode="masked",
                                                    value_dtype="float32"))
     assert C.host().equals(oracle_spgemm(A, B), tol=1e-4)
+
+
+def test_masked_classes_fill_frontend():
+    """Masked engine with the Mosaic ragged-fill product frontend
+    (interpreter mode): exact match incl. the tile-rank destinations."""
+    from mh_spgemm_tpu.pipeline import spgemm_masked
+    A = gen.banded(150, band=10, nnz_per_row=8, seed=5)
+    cfg = SpGEMMConfig(mode="masked", dma_fill="interpret",
+                       min_bucket_width=16)
+    C, st = spgemm_masked(A, A, config=cfg)
+    assert any(c.fill for c in st.plan.classes)
+    assert C.host().equals(oracle_spgemm(A, A), tol=1e-9)
