@@ -538,7 +538,9 @@ def estimate_cost_s(a_ptr: np.ndarray, a_col: np.ndarray,
         avg_words = p[sel].sum() * stride / max(1, vc[sel].sum())
         fill = (fill_possible and W <= _FILL_WORDS_CAP // stride
                 and avg_words >= _FILL_MIN_SPAN_WORDS)
-        per_slot = 4.0 if fill else _GATHER_NS_PER_SLOT
+        # measured end-to-end main-stage rates (cant: 10.2 ns/slot with
+        # the fill, ~27 on the gather path)
+        per_slot = 10.0 if fill else _GATHER_NS_PER_SLOT
         total += slots * per_slot * 1e-9
     return total * 1.3
 
@@ -948,6 +950,14 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
     if (area * nplanes + _FILL_BIAS_WORDS >= 2**31
             or nnz_cap * nplanes >= 2**31):
         return                        # int32 word addressing would overflow
+    # peak HBM while extracting = live slabs (12 B/slot f64) + the planar
+    # word stream (4 B/word) + the chunked output; past ~11 GB keep the
+    # XLA gather extraction (v5e has 15.75 GB and the main program's sort
+    # buffers also linger)
+    peak_bytes = (area * 12 + area * nplanes * 4
+                  + nnz_cap * nplanes * 8)
+    if peak_bytes > 11 * (1 << 30):
+        return
     rows = np.flatnonzero(crow > 0)
     cptr = np.concatenate([[0], np.cumsum(crow, dtype=np.int64)])
     src1 = plan.slab_row_start[rows].astype(np.int64)

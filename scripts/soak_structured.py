@@ -68,43 +68,51 @@ def main() -> int:
     fast = "--fast" in sys.argv
     fams = ([sys.argv[sys.argv.index("--family") + 1]]
             if "--family" in sys.argv else list(structured.FAMILIES))
+    from concurrent.futures import ThreadPoolExecutor
+
     from mh_spgemm_tpu.bench.structured import FAMILIES
     t0 = time.time()
     env = dict(os.environ, MHSPGEMM_COMPILE_CACHE=os.path.expanduser(
         "~/.cache/mh_spgemm_tpu/xla_cpu_soak"))
-    parts = []
     SHARD = 10                  # cases per child: bounds the jit cache
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_shard(job):
+        fam, lo = job
+        cmd = [sys.executable, "scripts/soak_structured.py",
+               "--run-family", fam, str(lo), str(lo + SHARD)] \
+            + (["--fast"] if fast else [])
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=5400, cwd=root, env=env)
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("RESULT")]
+        except subprocess.TimeoutExpired:
+            p, line = None, []
+        if not line:
+            return (fam, {"cases": 0, "failures": [
+                f"{fam}/{lo}..{lo+SHARD}/crashed "
+                f"rc={getattr(p, 'returncode', 'timeout')}"],
+                "errors": ([p.stderr[-400:]] if p is not None else [])})
+        got = json.loads(line[0][len("RESULT"):])
+        print(f"{fam}[{lo}:{lo+SHARD}]: cases={got['cases']} "
+              f"fails={len(got['failures'])} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        return (fam, got)
+
+    jobs = [(fam, lo) for fam in fams
+            for lo in range(0, FAMILIES[fam][1], SHARD)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run_shard, jobs))
+    parts = []
     for fam in fams:
-        count = FAMILIES[fam][1]
         merged = {"family": fam, "cases": 0, "failures": [], "errors": []}
-        for lo in range(0, count, SHARD):
-            cmd = [sys.executable, "scripts/soak_structured.py",
-                   "--run-family", fam, str(lo), str(lo + SHARD)]                 + (["--fast"] if fast else [])
-            try:
-                p = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=3600,
-                                   cwd=os.path.dirname(os.path.dirname(
-                                       os.path.abspath(__file__))),
-                                   env=env)
-                line = [ln for ln in p.stdout.splitlines()
-                        if ln.startswith("RESULT")]
-            except subprocess.TimeoutExpired:
-                p, line = None, []
-            if not line:
-                merged["failures"].append(
-                    f"{fam}/{lo}..{lo+SHARD}/crashed "
-                    f"rc={getattr(p, 'returncode', 'timeout')}")
-                if p is not None:
-                    merged["errors"].append(p.stderr[-400:])
-            else:
-                got = json.loads(line[0][len("RESULT"):])
+        for f, got in results:
+            if f == fam:
                 merged["cases"] += got["cases"]
                 merged["failures"] += got["failures"]
                 merged["errors"] += got["errors"]
         parts.append(merged)
-        print(f"{fam}: cases={parts[-1]['cases']} "
-              f"fails={len(parts[-1]['failures'])} "
-              f"({time.time() - t0:.0f}s)", flush=True)
 
     fails = [f for p_ in parts for f in p_["failures"]]
     report = {
