@@ -29,8 +29,11 @@ def run_child(platform: str, ndev: int, args: list) -> dict:
                    if platform == "cpu" else ""),
         "args": repr(args),
     }
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=1200)
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=3000)
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
     for ln in p.stdout.splitlines():
         if ln.startswith("{"):
             return json.loads(ln)
