@@ -122,15 +122,18 @@ class ClassPlan:
 
 @dataclasses.dataclass
 class ExtractPlan:
-    """Host plan for the Mosaic extraction: per OUTPUT chunk (a CSR word
+    """Host plan for the Mosaic extraction: per OUTPUT chunk (a CSR slot
     range small enough for a VMEM-resident ragged_fill output), the
-    per-row packed-slab spans as (src, dst, len) word runs grouped into
-    source windows."""
+    per-row packed-slab spans as (src, dst, len) SLOT runs grouped into
+    source windows.  One descriptor drives every transport plane
+    (col/hi/lo share identical span geometry; the kernel replays each
+    run per plane at fixed source/destination strides)."""
 
-    stride: int                         # words per output nonzero
+    nplanes: int                        # col + value word planes
     nchunks: int
-    cap_rows: int                       # output chunk rows (words / 128)
+    cap_slots: int                      # output slots per chunk
     wrows: int
+    area_pad: int                       # per-plane stream words (128-mult)
     win_row: np.ndarray                 # int32[nchunks, S, 2]
     runs: np.ndarray                    # int32[nchunks, S, EPG, 3]
     dev: Optional[tuple] = None
@@ -937,17 +940,17 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
     Attached to ``plan.ext`` when the cost model beats the XLA gather
     extraction."""
     nplanes = 1 + (2 if plan.vwords == 2 else 1)  # col + hi (+ lo)
-    stride = nplanes
     force = plan.dma_fill in ("on", "interpret")
     nnz_c = int(crow.sum())
     if nnz_c == 0:
         return
-    avg_words = nnz_c * stride / max(1, int((crow > 0).sum()))
-    if not force and avg_words < _FILL_MIN_SPAN_WORDS:
+    avg_slots = nnz_c / max(1, int((crow > 0).sum()))
+    if not force and avg_slots < _FILL_MIN_SPAN_WORDS:
         return
     area = sum(c.W * c.rb * c.nchunks for c in plan.classes)
+    area_pad = -(-area // 128) * 128
     nnz_cap = quantize(max(1, nnz_c))
-    if (area * nplanes + _FILL_BIAS_WORDS >= 2**31
+    if (area_pad * nplanes + _FILL_BIAS_WORDS >= 2**31
             or nnz_cap * nplanes >= 2**31):
         return                        # int32 word addressing would overflow
     # peak HBM while extracting = live slabs (12 B/slot f64) + the planar
@@ -960,46 +963,44 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
         return
     rows = np.flatnonzero(crow > 0)
     cptr = np.concatenate([[0], np.cumsum(crow, dtype=np.int64)])
-    src1 = plan.slab_row_start[rows].astype(np.int64)
-    dst1 = cptr[rows]
-    ln1 = crow[rows].astype(np.int64)
-    # planar: plane p's source lives at p*area, its output at p*nnz_cap
-    src = np.concatenate([src1 + p * area for p in range(nplanes)])
-    dst = np.concatenate([dst1 + p * nnz_cap for p in range(nplanes)])
-    ln = np.tile(ln1, nplanes)
-    CAP = _FILL_WORDS_CAP
+    src = plan.slab_row_start[rows].astype(np.int64)
+    dst = cptr[rows]
+    ln = crow[rows].astype(np.int64)
+    CAPS = _FILL_WORDS_CAP // nplanes       # output SLOTS per chunk
     wrows = 128
     # split runs at output-chunk boundaries, then bucket by chunk
-    first = dst // CAP
-    last = (dst + ln - 1) // CAP
+    first = dst // CAPS
+    last = (dst + ln - 1) // CAPS
     npieces = (last - first + 1)
     if npieces.max(initial=1) > 1:
         idx = np.repeat(np.arange(src.size), npieces)
         within = (np.arange(idx.size)
                   - np.repeat(np.cumsum(npieces) - npieces, npieces))
-        cut = (first[idx] + within) * CAP
+        cut = (first[idx] + within) * CAPS
         lo = np.maximum(dst[idx], cut)
-        hi = np.minimum(dst[idx] + ln[idx], cut + CAP)
+        hi = np.minimum(dst[idx] + ln[idx], cut + CAPS)
         src = src[idx] + (lo - dst[idx])
         ln = hi - lo
         dst = lo
-    cid = dst // CAP
-    total_words = nnz_cap * nplanes
-    nchunks = max(1, -(-total_words // CAP))
-    wins, runss, s_total = [], [], 0
+    cid = dst // CAPS
+    nchunks = max(1, -(-nnz_cap // CAPS))
+    wins, runss, s_total, r_total = [], [], 0, 0
     order = np.argsort(cid, kind="stable")
     src, dst, ln, cid = src[order], dst[order], ln[order], cid[order]
     bounds = np.searchsorted(cid, np.arange(nchunks + 1))
     for o in range(nchunks):
         sel = slice(bounds[o], bounds[o + 1])
-        w, r = _group_runs(src[sel], dst[sel] - o * CAP, ln[sel],
+        w, r = _group_runs(src[sel], dst[sel] - o * CAPS, ln[sel],
                            wrows, _FILL_EPG)
         wins.append(w)
         runss.append(r)
         s_total += w.shape[0]
+        r_total += int(w[:, 1].sum())
+    # one descriptor drives all planes: ~0.17 us of extra walk per extra
+    # plane on top of the ~0.4 us first walk
     fill_est = (s_total * _FILL_STEP_US * 1e3
-                + rows.size * nplanes * _FILL_RUN_US * 1e3
-                + nnz_c * stride * 0.7)
+                + r_total * (_FILL_RUN_US + 0.17 * (nplanes - 1)) * 1e3
+                + nnz_c * nplanes * 0.7)
     gather_est = nnz_c * (43.0 if plan.vwords == 2 else 29.0)
     if fill_est >= gather_est and not force:
         return
@@ -1009,9 +1010,9 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
     for k, (w, r) in enumerate(zip(wins, runss)):
         win_row[k, :w.shape[0]] = w
         runs[k, :r.shape[0]] = r
-    plan.ext = ExtractPlan(stride=stride, nchunks=nchunks,
-                           cap_rows=CAP // 128, wrows=wrows,
-                           win_row=win_row, runs=runs)
+    plan.ext = ExtractPlan(nplanes=nplanes, nchunks=nchunks,
+                           cap_slots=CAPS, wrows=wrows,
+                           area_pad=area_pad, win_row=win_row, runs=runs)
 
 
 def _dekker_words(oV):
@@ -1035,8 +1036,8 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
     to the gather-only XLA extraction's ~44 ns per output nonzero).
     Falls back to the XLA path at runtime if any value overflows the
     f32 transport range (lax.cond, f64 only)."""
-    stride, nchunks, cap_rows, wrows = spec
-    f64 = stride == 3
+    nplanes, nchunks, cap_slots, wrows, area_pad = spec
+    f64 = nplanes == 3
     cols, his, los = [], [], []
     ok = jnp.bool_(True)
     for oC, oV, _ in slabs:
@@ -1049,38 +1050,43 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
         else:
             his.append(jax.lax.bitcast_convert_type(
                 oV.reshape(-1).astype(jnp.float32), jnp.int32))
-    # PLANAR stream: [bias | col plane | hi plane | (lo plane)] — a
-    # device-side interleave would materialise a lane-padded [N, stride]
-    # layout (128/stride x blowup); planes keep everything 1-D
+    # PLANAR stream: [bias | col plane | hi plane | (lo plane)], each
+    # plane padded to area_pad words so the kernel reaches plane p at a
+    # fixed row stride — a device-side interleave would materialise a
+    # lane-padded [N, stride] layout (128/stride x blowup)
+    def plane(parts):
+        p = jnp.concatenate(parts)
+        return jnp.pad(p, (0, area_pad - p.shape[0]))
     stream = jnp.concatenate(
-        [jnp.zeros((_FILL_BIAS_WORDS,), jnp.int32)]
-        + cols + his + los)
-    srows = -(-stream.shape[0] // 128) + wrows + rf.PAD_ROWS
+        [jnp.zeros((_FILL_BIAS_WORDS,), jnp.int32), plane(cols),
+         plane(his)] + ([plane(los)] if f64 else []))
+    srows = stream.shape[0] // 128 + wrows + rf.PAD_ROWS
     stream2d = jnp.zeros((srows, 128), jnp.int32).at[
-        : -(-stream.shape[0] // 128)].set(
-        jnp.pad(stream, (0, -(-stream.shape[0] // 128) * 128
-                         - stream.shape[0])).reshape(-1, 128))
+        : stream.shape[0] // 128].set(stream.reshape(-1, 128))
+
+    cap_rows = nplanes * cap_slots // 128
 
     def mosaic(_):
+        kw = dict(out_rows=cap_rows, wrows=wrows, nplanes=nplanes,
+                  src_stride_rows=area_pad // 128, dst_stride=cap_slots,
+                  interpret=interpret)
         if nchunks == 1:
-            w = rf.ragged_fill(win_row[0], runs[0], stream2d,
-                               out_rows=cap_rows, wrows=wrows,
-                               interpret=interpret)
-            flatw = w.reshape(-1)[: cap_rows * 128]
+            w = rf.ragged_fill(win_row[0], runs[0], stream2d, **kw)
+            ws = w[None, : cap_rows]
         else:
             def step(carry, xs):
                 wr, rn = xs
-                w = rf.ragged_fill(wr, rn, stream2d, out_rows=cap_rows,
-                                   wrows=wrows, interpret=interpret)
+                w = rf.ragged_fill(wr, rn, stream2d, **kw)
                 return carry, w[: cap_rows]
             _, ws = jax.lax.scan(step, None, (win_row, runs))
-            flatw = ws.reshape(-1)
-        ccol = flatw[:nnz_cap]
+        # ws [nchunks, nplanes*cap_slots/128, 128] -> per-plane streams
+        wsp = ws.reshape(nchunks, nplanes, cap_slots)
+        ccol = wsp[:, 0].reshape(-1)[:nnz_cap]
         hi = jax.lax.bitcast_convert_type(
-            flatw[nnz_cap: 2 * nnz_cap], jnp.float32)
+            wsp[:, 1].reshape(-1)[:nnz_cap], jnp.float32)
         if f64:
             lo = jax.lax.bitcast_convert_type(
-                flatw[2 * nnz_cap: 3 * nnz_cap], jnp.float32)
+                wsp[:, 2].reshape(-1)[:nnz_cap], jnp.float32)
             cval = hi.astype(jnp.float64) + lo.astype(jnp.float64)
         else:
             cval = hi
@@ -1120,7 +1126,8 @@ def finish_bucketed(plan: BucketPlan, main_out, vdtype):
             e.dev = (jnp.asarray(e.win_row), jnp.asarray(e.runs))
         ccol, cval = bucketed_extract_mosaic(
             slabs, e.dev[0], e.dev[1], plan.dev_slab_start, cptr,
-            spec=(e.stride, e.nchunks, e.cap_rows, e.wrows),
+            spec=(e.nplanes, e.nchunks, e.cap_slots, e.wrows,
+                  e.area_pad),
             m=plan.m_cap, nnz_cap=plan.nnz_cap,
             interpret=(plan.dma_fill == "interpret"))
         if jnp.dtype(vdtype) != cval.dtype:

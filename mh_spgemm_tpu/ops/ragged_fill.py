@@ -64,73 +64,99 @@ def _rot128(block, ol):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _fill_kernel(wrows: int, blk: int, win_row_ref, runs_ref, pairs_ref,
+def _fill_kernel(wrows: int, blk: int, nplanes: int, src_stride_rows: int,
+                 dst_stride: int, win_row_ref, runs_ref, pairs_ref,
                  out_ref, win_buf, sems):
+    """``nplanes == 1``: plain run copy.  ``nplanes > 1``: each run is
+    replayed once per PLANE with fixed source/destination offsets
+    (plane p reads ``src + p*src_stride_rows*128`` and writes
+    ``dst + p*dst_stride``) — one descriptor drives all planes, cutting
+    the per-run scalar overhead ~nplanes-fold for the planar extraction
+    (col/hi/lo planes share identical span geometry)."""
     g = pl.program_id(0)
     nsteps = pl.num_programs(0)
     lblk = int(np.log2(blk))
 
-    def win_dma(gi, slot):
+    def win_dma(gi, p, slot):
         return pltpu.make_async_copy(
-            pairs_ref.at[pl.ds(win_row_ref[gi, 0], wrows + PAD_ROWS), :],
-            win_buf.at[slot],
-            sems.at[slot])
+            pairs_ref.at[pl.ds(win_row_ref[gi, 0]
+                               + np.int32(p * src_stride_rows),
+                               wrows + PAD_ROWS), :],
+            win_buf.at[slot, np.int32(p)],
+            sems.at[slot, np.int32(p)])
+
+    def start_all(gi, slot):
+        for p in range(nplanes):
+            win_dma(gi, p, slot).start()
+
+    def wait_all(gi, slot):
+        for p in range(nplanes):
+            win_dma(gi, p, slot).wait()
 
     @pl.when(g == 0)
     def _():
-        win_dma(np.int32(0), np.int32(0)).start()
+        start_all(np.int32(0), np.int32(0))
 
     slot = jax.lax.rem(g, np.int32(2))
-    win_dma(g, slot).wait()
+    wait_all(g, slot)
 
     @pl.when(g + 1 < nsteps)
     def _():
-        win_dma(g + np.int32(1), np.int32(1) - slot).start()
+        start_all(g + np.int32(1), np.int32(1) - slot)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 0)
 
     def run_body(e, _):
         src = runs_ref[0, e, 0]          # window-relative elements
-        dst = runs_ref[0, e, 1]          # flat output elements
+        dst0 = runs_ref[0, e, 1]         # flat output elements
         ln = runs_ref[0, e, 2]
 
         @pl.when(ln > 0)
         def _():
-            off = src - dst
-            or_ = off >> 7
-            ol = off & 127
-            d0 = dst >> 7
-            dend = dst + ln - np.int32(1)
-            nblk = (((dend >> 7) - d0) >> lblk) + np.int32(1)
-            # pltpu.roll(x, s)[l] = x[(l - s) % 128]; we want
-            # x[(l + ol) % 128], so s = 128 - ol
-            sh = (np.int32(128) - ol) & 127
+            for p in range(nplanes):     # static unroll over planes
+                dst = dst0 + np.int32(p * dst_stride)
+                off = src - dst
+                or_ = off >> 7
+                ol = off & 127
+                d0 = dst >> 7
+                dend = dst + ln - np.int32(1)
+                nblk = (((dend >> 7) - d0) >> lblk) + np.int32(1)
+                # pltpu.roll(x, s)[l] = x[(l - s) % 128]; we want
+                # x[(l + ol) % 128], so s = 128 - ol
+                sh = (np.int32(128) - ol) & 127
 
-            def row_body(i, _):
-                j = d0 + i * np.int32(blk)
-                wr = j + or_             # >= 0 by the pairs-stream bias
-                a = pltpu.roll(win_buf[slot, pl.ds(wr, blk), :], sh, 1)
-                b = pltpu.roll(win_buf[slot, pl.ds(wr + 1, blk), :],
-                               sh, 1)
-                sel = jnp.where(lane < 128 - ol, a, b)
-                flat = ((j + rowi) << 7) + lane
-                mask = (flat >= dst) & (flat <= dend)
-                cur = out_ref[pl.ds(j, blk), :]
-                out_ref[pl.ds(j, blk), :] = jnp.where(mask, sel, cur)
-                return 0
+                def row_body(i, _, p=p, or_=or_, ol=ol, sh=sh, d0=d0,
+                             dst=dst, dend=dend):
+                    j = d0 + i * np.int32(blk)
+                    wr = j + or_         # >= 0 by the pairs-stream bias
+                    a = pltpu.roll(
+                        win_buf[slot, np.int32(p), pl.ds(wr, blk), :],
+                        sh, 1)
+                    b = pltpu.roll(
+                        win_buf[slot, np.int32(p),
+                                pl.ds(wr + 1, blk), :], sh, 1)
+                    sel = jnp.where(lane < 128 - ol, a, b)
+                    flat = ((j + rowi) << 7) + lane
+                    mask = (flat >= dst) & (flat <= dend)
+                    cur = out_ref[pl.ds(j, blk), :]
+                    out_ref[pl.ds(j, blk), :] = jnp.where(mask, sel, cur)
+                    return 0
 
-            jax.lax.fori_loop(0, nblk, row_body, 0, unroll=False)
+                jax.lax.fori_loop(0, nblk, row_body, 0, unroll=False)
 
         return 0
 
     jax.lax.fori_loop(0, win_row_ref[g, 1], run_body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("out_rows", "wrows", "blk",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "out_rows", "wrows", "blk", "nplanes", "src_stride_rows",
+    "dst_stride", "interpret"))
 def ragged_fill(win_row: jax.Array, runs: jax.Array, pairs2d: jax.Array,
                 *, out_rows: int, wrows: int, blk: int = 8,
+                nplanes: int = 1, src_stride_rows: int = 0,
+                dst_stride: int = 0,
                 interpret: bool = False) -> jax.Array:
     """Copy runs of int32 words from ``pairs2d`` into a fresh output.
 
@@ -149,7 +175,8 @@ def ragged_fill(win_row: jax.Array, runs: jax.Array, pairs2d: jax.Array,
     engine masks by the plan-time per-row product count).
     """
     S = win_row.shape[0]
-    kernel = functools.partial(_fill_kernel, wrows, blk)
+    kernel = functools.partial(_fill_kernel, wrows, blk, nplanes,
+                               src_stride_rows, dst_stride)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
@@ -163,8 +190,8 @@ def ragged_fill(win_row: jax.Array, runs: jax.Array, pairs2d: jax.Array,
                                lambda g, wr: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, wrows + PAD_ROWS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, nplanes, wrows + PAD_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, nplanes)),
         ],
     )
     return pl.pallas_call(
