@@ -436,6 +436,13 @@ def spgemm_blockdense(A: CSR, B: CSR,
     timing = timing if timing is not None else Timing()
     import jax.numpy as _jnp
 
+    if A.nnz == 0 or B.nnz == 0:
+        C = DeviceCSR(M=A.M, N=B.N,
+                      ptr=_jnp.zeros((A.M + 1,), _jnp.int32),
+                      col=_jnp.zeros((0,), _jnp.int32),
+                      val=_jnp.zeros((0,), config.vdtype), nnz_true=0)
+        return C, state
+
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
             plan = blockdense_ops.plan_blockdense(

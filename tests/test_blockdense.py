@@ -79,3 +79,13 @@ def test_agreement_with_bucketed():
     C1 = spgemm_host(A, config=SpGEMMConfig(mode="blockdense"))
     C2 = spgemm_host(A, config=SpGEMMConfig(mode="bucketed"))
     assert C1.equals(C2, tol=1e-12)
+
+
+def test_blockdense_empty_matrix():
+    """Empty input returns the empty C instead of a plan error
+    (structured-soak degenerate family regression)."""
+    from mh_spgemm_tpu import CSR, SpGEMMConfig, oracle_spgemm, spgemm_host
+    import numpy as np
+    A = CSR.from_coo(7, 7, np.zeros(0), np.zeros(0), np.zeros(0))
+    C = spgemm_host(A, None, config=SpGEMMConfig(mode="blockdense"))
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
