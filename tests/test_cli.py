@@ -76,3 +76,10 @@ def test_dist_bench_smoke(tiny_mtx, capsys):
     d = json.loads(line)
     assert d["metric"] == "spgemm_dist_scaling"
     assert d["devices"]["1"]["check"] == "pass"
+
+
+def test_cli_masked_mode(tiny_mtx, capsys):
+    rc = cli_main([tiny_mtx, "--mode", "masked", "--iters", "1",
+                   "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0 and '"gflops"' in out

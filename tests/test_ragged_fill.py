@@ -97,3 +97,14 @@ def test_auto_fill_off_device_is_noop():
     A = gen.banded(100, band=8, nnz_per_row=6, seed=2)
     plan = B.plan_buckets(A.ptr, A.col, A.ptr, vwords=2, dma_fill="auto")
     assert not any(c.fill for c in plan.classes)
+
+
+def test_chunked_fallback_with_fill_frontend():
+    """Row-chunked execution composes with the Mosaic fill (each chunk
+    plans its own fill classes)."""
+    from mh_spgemm_tpu.pipeline import spgemm_chunked
+    A = gen.banded(240, band=10, nnz_per_row=8, seed=19)
+    cfg = SpGEMMConfig(mode="bucketed", dma_fill="interpret",
+                       min_bucket_width=16)
+    C = spgemm_chunked(A, A, config=cfg, max_products=4000)
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
