@@ -88,6 +88,15 @@ class SpGEMMConfig:
     # "on" forces it, "off" keeps the XLA gather expansion,
     # "interpret" forces it in Pallas interpreter mode (CPU tests).
     dma_fill: str = "auto"
+    # Double-f32 value pipeline for float64 (ops/esc_tail.py helpers):
+    # the TPU has no native f64 — XLA emulates it at ~2.3 ns/slot per
+    # arithmetic pass (measured, scripts/profile_tail.py).  "auto" runs
+    # the f64 engines on Dekker-split (hi, lo) f32 pairs with two-sum
+    # compensated accumulation whenever the plan-time range guard
+    # (esc_tail.df_range_ok) certifies the 1e-9 comparator bound
+    # (reference contract /root/reference/src/CSR.cu:60); "off" keeps
+    # emulated f64; "on" forces the split (tests).
+    df32: str = "auto"
 
     @property
     def vdtype(self):

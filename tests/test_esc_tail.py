@@ -1,0 +1,148 @@
+"""Fused Mosaic ESC tail (ops/esc_tail.py) in interpreter mode: the
+in-VMEM bitonic sort + segmented double-f32 accumulate + left-pack must
+reproduce the XLA tail's semantics exactly (same packed columns, values
+within the double-f32 error bound)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mh_spgemm_tpu.ops.esc_tail import (df_mul_xla, dekker_split_np,
+                                        df_range_ok, esc_tail,
+                                        supported_w2)
+
+I32_MAX = 2**31 - 1
+
+
+def _ref_tail(keys, vals, row_len):
+    """Numpy reference: per row, sort (key, val) by key over the first
+    row_len slots, sum duplicate keys, left-pack ascending."""
+    rows, w2 = keys.shape
+    oK = np.full((rows, w2), I32_MAX, np.int32)
+    oV = np.zeros((rows, w2), np.float64)
+    nnz = np.zeros(rows, np.int32)
+    for r in range(rows):
+        n = row_len[r]
+        k = keys[r, :n]
+        v = vals[r, :n]
+        uk = np.unique(k)
+        sums = np.array([v[k == u].sum() for u in uk])
+        oK[r, : uk.size] = uk
+        oV[r, : uk.size] = sums
+        nnz[r] = uk.size
+    return oK, oV, nnz
+
+
+def _run(keys, vals, row_len, f64=True):
+    rows, w2 = keys.shape
+    if f64:
+        ah, al = dekker_split_np(vals)
+        ones_h = np.ones_like(ah)
+        ones_l = np.zeros_like(al)
+        ph, pl = df_mul_xla(jnp.asarray(ah), jnp.asarray(al),
+                            jnp.asarray(ones_h), jnp.asarray(ones_l))
+        vhi = jnp.asarray(np.asarray(ph).view(np.int32))
+        vlo = jnp.asarray(np.asarray(pl).view(np.int32))
+    else:
+        vhi = jnp.asarray(vals.astype(np.float32).view(np.int32))
+        vlo = vhi
+    ok, oh, ol = esc_tail(jnp.asarray(keys), vhi, vlo,
+                          jnp.asarray(row_len), w2=w2, f64=f64,
+                          interpret=True)
+    ok = np.asarray(ok)
+    hi = np.asarray(oh).view(np.float32)
+    if f64:
+        lo = np.asarray(ol).view(np.float32)
+        vals_out = hi.astype(np.float64) + lo.astype(np.float64)
+    else:
+        vals_out = hi.astype(np.float64)
+    return ok, vals_out
+
+
+@pytest.mark.parametrize("w2", [8, 32, 128, 256, 1024])
+def test_tail_matches_reference(w2):
+    rng = np.random.default_rng(w2)
+    rows = max(8, 2048 // w2)
+    row_len = rng.integers(0, w2 + 1, rows).astype(np.int32)
+    # duplicate-heavy keys from a small alphabet + garbage beyond len
+    keys = rng.integers(0, max(2, w2 // 2), (rows, w2)).astype(np.int32)
+    vals = rng.standard_normal((rows, w2))
+    ok, ov = _run(keys, vals, row_len, f64=True)
+    rK, rV, nnz = _ref_tail(keys, vals, row_len)
+    assert np.array_equal(ok, rK)
+    live = rK < I32_MAX
+    err = np.abs(ov[live] - rV[live])
+    tol = 1e-9 * np.maximum(1.0, np.abs(rV[live]))
+    assert np.all(err < tol), float(err.max())
+    # packed nnz per row recoverable from the column plane
+    assert np.array_equal((ok < I32_MAX).sum(axis=1), nnz)
+
+
+def test_tail_f32():
+    rng = np.random.default_rng(7)
+    w2, rows = 64, 32
+    row_len = rng.integers(0, w2 + 1, rows).astype(np.int32)
+    keys = rng.integers(0, 40, (rows, w2)).astype(np.int32)
+    vals = rng.standard_normal((rows, w2))
+    ok, ov = _run(keys, vals, row_len, f64=False)
+    rK, rV, _ = _ref_tail(keys, vals.astype(np.float32).astype(
+        np.float64), row_len)
+    assert np.array_equal(ok, rK)
+    live = rK < I32_MAX
+    assert np.allclose(ov[live], rV[live], atol=1e-4, rtol=1e-4)
+
+
+def test_tail_empty_and_full_rows():
+    w2, rows = 16, 8
+    keys = np.tile(np.arange(w2, dtype=np.int32)[::-1], (rows, 1))
+    vals = np.ones((rows, w2))
+    row_len = np.array([0, w2, 1, w2, 0, 3, w2 - 1, 2], np.int32)
+    ok, ov = _run(keys, vals, row_len)
+    rK, rV, nnz = _ref_tail(keys, vals, row_len)
+    assert np.array_equal(ok, rK)
+    assert np.array_equal((ok < I32_MAX).sum(axis=1), nnz)
+
+
+def test_tail_all_same_key():
+    """Worst-case duplicates: every product lands on one column."""
+    w2, rows = 256, 8
+    keys = np.full((rows, w2), 5, np.int32)
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((rows, w2))
+    row_len = np.full(rows, w2, np.int32)
+    ok, ov = _run(keys, vals, row_len)
+    assert np.all(ok[:, 0] == 5)
+    assert np.all(ok[:, 1:] == I32_MAX)
+    ref = vals.sum(axis=1)
+    assert np.allclose(ov[:, 0], ref, atol=1e-9, rtol=1e-9)
+
+
+def test_cancellation_accuracy():
+    """Catastrophic cancellation: pairs (+x, -x) plus a tiny residual;
+    the double-f32 path must keep absolute error under 1e-9."""
+    w2 = 128
+    rows = 8
+    rng = np.random.default_rng(11)
+    x = rng.uniform(1.0, 100.0, (rows, w2 // 2))
+    vals = np.zeros((rows, w2))
+    vals[:, 0::2] = x
+    vals[:, 1::2] = -x
+    vals[:, 1] += 1e-7          # tiny surviving residual
+    keys = np.zeros((rows, w2), np.int32)   # all into one column
+    row_len = np.full(rows, w2, np.int32)
+    ok, ov = _run(keys, vals, row_len)
+    ref = vals.sum(axis=1, dtype=np.float64)
+    assert np.all(np.abs(ov[:, 0] - ref) < 1e-9)
+
+
+def test_df_range_guard():
+    assert df_range_ok(np.array([1.0]), np.array([2.0]), 1 << 20)
+    assert not df_range_ok(np.array([1e20]), np.array([1e20]), 4)
+    assert not df_range_ok(np.array([np.inf]), np.array([1.0]), 4)
+
+
+def test_supported_widths():
+    assert supported_w2(8) and supported_w2(65536)
+    assert not supported_w2(4) and not supported_w2(3 << 10)
+    assert not supported_w2(1 << 17)
