@@ -339,9 +339,10 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     the descriptors point at (default: CSR, ``b_ptr[:-1]``/``diff``) —
     the distributed engines plan against gathered or halo-payload
     layouts whose row starts are not a prefix sum.  ``forced`` maps
-    width -> (rb, nchunks, eb) to pin class shapes (including widths
-    with zero local rows), so every shard of a mesh compiles ONE
-    program (plan_buckets_sharded builds it)."""
+    width -> (rb, nchunks, eb, fill) to pin class shapes (including
+    widths with zero local rows) AND the expansion frontend choice, so
+    every shard of a mesh compiles ONE program (plan_buckets_sharded
+    builds it)."""
     m = a_ptr.shape[0] - 1
     csr_layout = b_starts is None and b_lens is None
     if b_lens is None:
@@ -392,7 +393,15 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         rows_c = active[wclass == int(W)] if active.size else \
             np.zeros(0, np.int32)                           # original order
         cand = False
-        if fill_ok and W <= fill_slot_cap and forced is None:
+        fill_forced = False
+        if forced is not None:
+            # the union spec pins the frontend: attach the fill plan
+            # exactly when the union says so (force=True skips the
+            # per-shard cost model — specs must match across shards)
+            fill_forced = bool(forced[W][3]) and fill_ok \
+                and W <= fill_slot_cap
+            cand = fill_forced
+        elif fill_ok and W <= fill_slot_cap:
             pc = int(p[wclass == int(W)].sum())
             ec = int(row_vcnt[rows_c].sum())
             cand = fill_force or (pc * stride / max(1, ec)
@@ -401,7 +410,7 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         # row count (quantized so similar matrices share compiled shapes);
         # fill classes use the smaller VMEM-resident slab3 budget
         if forced is not None:
-            rb, nchunks, eb_n = forced[W]
+            rb, nchunks, eb_n = forced[W][:3]
         else:
             cap = fill_slot_cap if cand else area_cap
             rb = max(1, min(cap // W, quantize(max(1, rows_c.size))))
@@ -437,7 +446,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                 ent_aidx=ent[3],
                 hold_passes=_log2_bound(W), seg_passes=_log2_bound(W)))
             if cand:
-                _attach_fill_plan(classes[-1], stride, force=fill_force)
+                _attach_fill_plan(classes[-1], stride,
+                                   force=fill_force or fill_forced)
             continue
         cnt = a_row_nnz[rows_c].astype(np.int64)
         local_row = np.repeat(np.arange(rows_c.size, dtype=np.int64), cnt)
@@ -488,7 +498,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             seg_passes=_log2_bound(W),
         ))
         if cand:
-            _attach_fill_plan(classes[-1], stride, force=fill_force)
+            _attach_fill_plan(classes[-1], stride,
+                                   force=fill_force or fill_forced)
 
     # flat offset of each row's slab in the concatenated class slabs
     # (extraction reads output j of row r at slab_row_start[r] + rank)
@@ -592,6 +603,43 @@ def build_pairs(b_col: np.ndarray, b_val: np.ndarray, vwords: int,
     out = np.zeros((rows, 128), np.int32)
     out.reshape(-1)[_FILL_BIAS_WORDS: _FILL_BIAS_WORDS + flat.size] = flat
     return out
+
+
+def pairs_rows(nnz: int, vwords: int, wrows_max: int) -> int:
+    """Static row count of the [NR, 128] pairs stream for ``nnz``
+    payload nonzeros (shared by build_pairs and pairs_device)."""
+    stride = 1 + vwords
+    return (-(-(_FILL_BIAS_WORDS + nnz * stride) // 128)
+            + wrows_max + rf.PAD_ROWS)
+
+
+def pairs_device(b_col: jax.Array, b_val, vwords: int,
+                 wrows_max: int, df: bool = False) -> jax.Array:
+    """Device-side ``build_pairs``: interleave [col, val word(s)] into
+    the [NR, 128] transport stream from arrays already ON DEVICE.  The
+    distributed engines call this INSIDE the shard kernel, after the
+    collective (all_gather / all_to_all) that materialises the shard's
+    B payload — so B still travels compact over ICI/DCN and only the
+    local re-encode pays the interleave copy (one bandwidth-bound
+    stack+reshape).  ``df``: ``b_val`` is an (hi, lo) f32 pair."""
+    nnz = b_col.shape[0]
+    col = b_col.astype(jnp.int32)
+    if df:
+        words = (col,
+                 jax.lax.bitcast_convert_type(b_val[0], jnp.int32),
+                 jax.lax.bitcast_convert_type(b_val[1], jnp.int32))
+    elif vwords == 2:
+        w = jax.lax.bitcast_convert_type(b_val, jnp.int32)  # [nnz, 2]
+        words = (col, w[:, 0], w[:, 1])
+    else:
+        words = (col, jax.lax.bitcast_convert_type(
+            b_val.astype(jnp.float32), jnp.int32))
+    flat = jnp.stack(words, axis=1).reshape(-1)
+    rows = pairs_rows(nnz, vwords, wrows_max)
+    out = jnp.zeros((rows * 128,), jnp.int32)
+    out = jax.lax.dynamic_update_slice(
+        out, flat, (np.int32(_FILL_BIAS_WORDS),))
+    return out.reshape(rows, 128)
 
 
 # ---------------------------------------------------------------------------
@@ -847,6 +895,7 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
                          min_width: int = 128, area_cap: int = 1 << 23,
                          b_starts=None, b_lens=None,
                          a_col_shards: Optional[List[np.ndarray]] = None,
+                         dma_fill: str = "off", vwords: int = 2,
                          ) -> List[BucketPlan]:
     """Per-shard bucket plans with IDENTICAL class specs, so one jitted
     program serves every shard of a row-partitioned mesh (SURVEY.md
@@ -855,7 +904,11 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
     Shard d owns rows [d*R, (d+1)*R).  ``b_starts``/``b_lens`` may be
     per-shard lists (ragged halo layout) or single arrays (replicated /
     gathered layout).  Two-phase: plan each shard free-form, union the
-    class shapes (max rb/nchunks/eb per width), then replan forced."""
+    class shapes (max rb/nchunks/eb per width) AND the expansion
+    frontend (a width class rides the Mosaic fill when ANY shard's cost
+    model picks it — homogeneous layouts agree in practice), then
+    replan forced and pad the per-shard fill descriptors (win_row/runs)
+    to one union window count so every device compiles ONE program."""
     R = rows_per_shard
     m = a_ptr.shape[0] - 1
 
@@ -877,19 +930,28 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
     def pick(x, d):
         return x[d] if isinstance(x, (list, tuple)) else x
 
-    kw = dict(min_width=min_width, area_cap=area_cap, dma_fill="off")
+    kw = dict(min_width=min_width, area_cap=area_cap, dma_fill=dma_fill,
+              vwords=vwords)
     plans = []
     for d in range(n_shards):
         ptr, col = shard_csr(d)
         plans.append(plan_buckets(ptr, col, b_ptr,
                                   b_starts=pick(b_starts, d),
                                   b_lens=pick(b_lens, d), **kw))
+    stride = 1 + vwords
+    fill_rb_cap = max(1, _FILL_WORDS_CAP // stride)
     forced: dict = {}
     for pl_ in plans:
         for c in pl_.classes:
-            rb, nch, eb = forced.get(c.W, (1, 1, 1))
-            forced[c.W] = (max(rb, c.rb), max(nch, c.nchunks),
-                           max(eb, c.eb))
+            rb, nch, eb, fl = forced.get(c.W, (1, 1, 1, False))
+            fl = fl or c.fill
+            rb = max(rb, c.rb)
+            if fl:
+                # fill slabs are VMEM-resident: clamp the union rb to the
+                # slab budget (a gather-only shard may have chosen a
+                # bigger chunk under the larger area budget)
+                rb = min(rb, max(1, fill_rb_cap // c.W))
+            forced[c.W] = (rb, max(nch, c.nchunks), max(eb, c.eb), fl)
     # replan under the forced union; eb may still grow when the union rb
     # regroups rows, so iterate the union to a fixpoint (converges fast:
     # rb/nchunks are fixed after the first forced round, eb only grows)
@@ -904,11 +966,27 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
         new_forced = {
             W: (forced[W][0],
                 max(pl_.classes[i].nchunks for pl_ in out),
-                max(pl_.classes[i].eb for pl_ in out))
+                max(pl_.classes[i].eb for pl_ in out),
+                forced[W][3])
             for i, W in enumerate(sorted(forced))}
         if new_forced == forced:
             break
         forced = new_forced
+    # pad the per-shard fill window descriptors to a union window count
+    # (S differs per shard; zero rows are no-op grid steps, the same
+    # padding quantize() already introduces per chunk)
+    for i in range(len(out[0].classes)):
+        if not out[0].classes[i].fill:
+            continue
+        S = max(p.classes[i].win_row.shape[1] for p in out)
+        for p in out:
+            c = p.classes[i]
+            s0 = c.win_row.shape[1]
+            if s0 < S:
+                c.win_row = np.pad(c.win_row, ((0, 0), (0, S - s0),
+                                               (0, 0)))
+                c.runs = np.pad(c.runs, ((0, 0), (0, S - s0), (0, 0),
+                                         (0, 0)))
     specs = {tuple(c.spec for c in pl_.classes) for pl_ in out}
     assert len(specs) == 1, "sharded plans must share one spec"
     return out

@@ -144,9 +144,9 @@ def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
 
 
 def _shard_bucketed_kernel(class_arrays, a_val, slab_start,
-                           b_col_flat, b_val_flat,
+                           b_col_flat, b_val_flat, pairs2d,
                            *, specs, m_cap: int, nnz_cap: int,
-                           rows_local: int):
+                           rows_local: int, interpret: bool = False):
     """Per-shard BUCKETED SpGEMM on the local row block (the production
     single-chip engine under shard_map — replaces the flat ESC kernel
     as the distributed compute path, VERDICT round-1 item 3).
@@ -154,12 +154,17 @@ def _shard_bucketed_kernel(class_arrays, a_val, slab_start,
     The descriptor arrays were host-planned per shard against the
     layout of ``b_col_flat``/``b_val_flat`` (replicated CSR, gathered
     blocks, or ragged halo payload) with IDENTICAL class specs across
-    shards, so this one program serves every device."""
+    shards, so this one program serves every device.  ``pairs2d`` is
+    the interleaved Mosaic-fill transport stream in the same address
+    space (built on device AFTER the collective for the gathered /
+    halo layouts — bucketed_ops.pairs_device)."""
     a_val = a_val.reshape(-1)
-    dummy_pairs = jnp.zeros((1, 128), jnp.int32)
+    if pairs2d is None:
+        pairs2d = jnp.zeros((1, 128), jnp.int32)
     crow, cptr, totals, slabs = bucketed_ops.bucketed_main(
         class_arrays, a_val, b_col_flat.reshape(-1),
-        b_val_flat.reshape(-1), dummy_pairs, specs=specs, m=m_cap)
+        b_val_flat.reshape(-1), pairs2d, specs=specs, m=m_cap,
+        interpret=interpret)
     ccol, cval = bucketed_ops.bucketed_extract(
         slabs, slab_start.reshape(-1), cptr, m=m_cap, nnz_cap=nnz_cap)
     nnz_tot = cptr[m_cap]
@@ -445,10 +450,14 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
     shard = NamedSharding(mesh, P(ROWS))
     repl = NamedSharding(mesh, P())
     a_val = _put(part.val, shard)
+    vwords = 2 if np.dtype(vdtype) == np.float64 else 1
+    dma_fill = config.dma_fill
+    interpret = dma_fill == "interpret"
 
     if b_strategy == "replicate":
-        plans = bucketed_ops.plan_buckets_sharded(A.ptr, A.col, D, R,
-                                                  b_ptr=B.ptr)
+        plans = bucketed_ops.plan_buckets_sharded(
+            A.ptr, A.col, D, R, b_ptr=B.ptr,
+            dma_fill=dma_fill, vwords=vwords)
     elif b_strategy == "allgather":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         RB, bcap = bpart.rows_per_shard, bpart.nnz_cap
@@ -456,7 +465,8 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         starts_g = (own * bcap + (B.ptr[:-1] - B.ptr[own * RB])
                     ).astype(np.int64)
         plans = bucketed_ops.plan_buckets_sharded(
-            A.ptr, A.col, D, R, b_starts=starts_g, b_lens=blens)
+            A.ptr, A.col, D, R, b_starts=starts_g, b_lens=blens,
+            dma_fill=dma_fill, vwords=vwords)
     elif b_strategy == "ragged":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         fp = plan_ragged_fetch(A, B, part, bpart)
@@ -465,38 +475,58 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
             A.ptr, A.col, D, R,
             b_starts=[fp.recv_start[d].astype(np.int64) for d in range(D)],
             b_lens=[fp.recv_len[d].astype(np.int64) for d in range(D)],
-            a_col_shards=a_cols)
+            a_col_shards=a_cols, dma_fill=dma_fill, vwords=vwords)
     else:
         raise SpGEMMError(f"unknown b_strategy {b_strategy!r}")
 
     specs = tuple(c.spec for c in plans[0].classes)
     m_cap = plans[0].m_cap
-    narr = 5
+    use_fill = bucketed_ops.needs_pairs(plans[0])
+    wrows_max = bucketed_ops.pairs_wrows_max(plans[0])
+    # per-class descriptor names mirror upload_plan's tuples: fill
+    # classes carry (row_len, win_row, runs) instead of ent_src
+    cls_names = [
+        ("rows_g", "ent_dst", "ent_len", "ent_aidx", "row_len",
+         "win_row", "runs") if c.fill else
+        ("rows_g", "ent_dst", "ent_src", "ent_len", "ent_aidx")
+        for c in plans[0].classes]
     flat = []
-    for i in range(len(specs)):
-        for j, name in enumerate(("rows_g", "ent_dst", "ent_src",
-                                  "ent_len", "ent_aidx")):
+    for i, names in enumerate(cls_names):
+        for name in names:
             flat.append(_put(np.stack(
                 [getattr(p.classes[i], name) for p in plans]), shard))
     slab_start = _put(
         np.stack([p.slab_row_start for p in plans]), shard)
 
+    counts = [len(n) for n in cls_names]
+
     def unstack(fl):
-        return [tuple(fl[i * narr + j][0] for j in range(narr))
-                for i in range(len(specs))]
+        out, k = [], 0
+        for n in counts:
+            out.append(tuple(fl[k + j][0] for j in range(n)))
+            k += n
+        return out
 
     kern = functools.partial(_shard_bucketed_kernel, specs=specs,
-                             m_cap=m_cap, nnz_cap=total, rows_local=R)
+                             m_cap=m_cap, nnz_cap=total, rows_local=R,
+                             interpret=interpret)
 
     if b_strategy == "replicate":
         b_col = _put(B.col.astype(np.int32), repl)
         b_val = _put(B.val.astype(vdtype), repl)
+        # replicated B: the pairs stream is shard-independent, build it
+        # once on host exactly like the single-chip path
+        pairs = _put(bucketed_ops.build_pairs(
+            B.col, B.val.astype(vdtype), vwords, wrows_max)
+            if use_fill else np.zeros((1, 128), np.int32), repl)
 
-        def wrapped(a_val, slab_start, b_col, b_val, *fl):
-            return kern(unstack(fl), a_val, slab_start[0], b_col, b_val)
+        def wrapped(a_val, slab_start, b_col, b_val, pairs, *fl):
+            return kern(unstack(fl), a_val, slab_start[0], b_col, b_val,
+                        pairs)
 
-        in_specs = (P(ROWS), P(ROWS), P(), P()) + (P(ROWS),) * len(flat)
-        args = (a_val, slab_start, b_col, b_val, *flat)
+        in_specs = (P(ROWS), P(ROWS), P(), P(), P()) \
+            + (P(ROWS),) * len(flat)
+        args = (a_val, slab_start, b_col, b_val, pairs, *flat)
     elif b_strategy == "allgather":
         b_col_l = _put(bpart.col, shard)
         b_val_l = _put(bpart.val, shard)
@@ -504,7 +534,12 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         def wrapped(a_val, slab_start, b_col_l, b_val_l, *fl):
             bc = jax.lax.all_gather(b_col_l[0], ROWS).reshape(-1)
             bv = jax.lax.all_gather(b_val_l[0], ROWS).reshape(-1)
-            return kern(unstack(fl), a_val, slab_start[0], bc, bv)
+            # re-encode the gathered payload into the fill transport
+            # stream ON DEVICE (B travelled compact over the collective)
+            pairs = bucketed_ops.pairs_device(
+                bc, bv, vwords, wrows_max) if use_fill else None
+            return kern(unstack(fl), a_val, slab_start[0], bc, bv,
+                        pairs)
 
         in_specs = (P(ROWS),) * 4 + (P(ROWS),) * len(flat)
         args = (a_val, slab_start, b_col_l, b_val_l, *flat)
@@ -520,14 +555,20 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
             rv = jax.lax.all_to_all(pv, ROWS, split_axis=0, concat_axis=0)
             bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
             bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
-            return kern(unstack(fl), a_val, slab_start[0], bc, bv)
+            pairs = bucketed_ops.pairs_device(
+                bc, bv, vwords, wrows_max) if use_fill else None
+            return kern(unstack(fl), a_val, slab_start[0], bc, bv,
+                        pairs)
 
         in_specs = (P(ROWS),) * 5 + (P(ROWS),) * len(flat)
         args = (a_val, slab_start, b_col_l, b_val_l, send_src, *flat)
 
     fn = jax.jit(jax.shard_map(
         wrapped, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
+        out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS)),
+        # pallas_call inside shard_map cannot annotate its out_shape
+        # with varying-mesh-axes metadata; skip the vma check
+        check_vma=False))
     crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
     if state is not None:
         state.update(fn=fn, args=args, R=R, total=total)

@@ -192,6 +192,33 @@ def test_dist_multiprocess():
         assert f"proc {i}: multiprocess dist OK" in out
 
 
+@pytest.mark.parametrize("strategy", ["replicate", "allgather", "ragged"])
+def test_dist_mosaic_fill_matches_oracle(strategy):
+    """Mosaic ragged-fill expansion under shard_map (VERDICT round-2
+    item 4): the pairs transport stream is built per shard — on host for
+    replicated B, ON DEVICE after the collective for gathered / halo
+    layouts — and every width class is forced onto the fill frontend
+    (dma_fill='interpret' exercises the kernel on the CPU mesh)."""
+    mesh = _mesh(4)
+    cfg = SpGEMMConfig(dma_fill="interpret")
+    for A in (gen.banded(120, band=9, nnz_per_row=5, seed=21),
+              gen.powerlaw(300, avg_nnz=5, seed=22)):
+        C = spgemm_dist(A, None, mesh, config=cfg, b_strategy=strategy)
+        assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_dist_mosaic_fill_state_reuse_and_uneven():
+    mesh = _mesh(8)
+    cfg = SpGEMMConfig(dma_fill="interpret")
+    A = gen.random_uniform(101, nnz_per_row=4, seed=24)
+    st = {}
+    ref = oracle_spgemm(A, A)
+    for _ in range(2):
+        C = spgemm_dist(A, None, mesh, config=cfg, b_strategy="ragged",
+                        state=st)
+        assert C.equals(ref, tol=1e-9)
+
+
 @pytest.mark.parametrize("n", [4, 8])
 def test_dist_ragged_overlap_matches_oracle(n):
     """Overlapped ragged path: local-only rows compute while the halo
