@@ -896,6 +896,7 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
                          b_starts=None, b_lens=None,
                          a_col_shards: Optional[List[np.ndarray]] = None,
                          dma_fill: str = "off", vwords: int = 2,
+                         bounds: Optional[np.ndarray] = None,
                          ) -> List[BucketPlan]:
     """Per-shard bucket plans with IDENTICAL class specs, so one jitted
     program serves every shard of a row-partitioned mesh (SURVEY.md
@@ -913,7 +914,10 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
     m = a_ptr.shape[0] - 1
 
     def shard_csr(d):
-        lo, hi = min(d * R, m), min((d + 1) * R, m)
+        if bounds is None:
+            lo, hi = min(d * R, m), min((d + 1) * R, m)
+        else:       # work-balanced partition: explicit owned row ranges
+            lo, hi = int(bounds[d]), int(bounds[d + 1])
         ptr = (a_ptr[lo:hi + 1] - a_ptr[lo]).astype(a_ptr.dtype)
         if hi <= lo:
             ptr = np.zeros(1, a_ptr.dtype)

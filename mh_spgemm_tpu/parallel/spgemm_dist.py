@@ -58,33 +58,60 @@ def _to_np(x) -> np.ndarray:
 @dataclasses.dataclass
 class RowPartition:
     """Host-side padded row partition of a CSR matrix: shard d owns rows
-    [d*rows_per_shard, (d+1)*rows_per_shard); arrays are padded to the max
-    per-shard nnz so every shard sees one static shape."""
+    [bounds[d], bounds[d+1]) (default: equal-row split); arrays are
+    padded to the max per-shard row/nnz counts so every shard sees one
+    static shape."""
 
     n_shards: int
-    rows_per_shard: int
+    rows_per_shard: int        # row capacity R = max shard row count
     nnz_cap: int
     ptr: np.ndarray    # int32[D, R+1] local (0-based) row pointers
     col: np.ndarray    # int32[D, cap]
     val: np.ndarray    # float[D, cap]
     nnz: np.ndarray    # int32[D] true local nnz
+    bounds: np.ndarray = None  # int64[D+1] owned global row ranges
 
 
-def partition_rows(A: CSR, n_shards: int, value_dtype=None) -> RowPartition:
-    R = -(-A.M // n_shards)
-    caps = []
-    for d in range(n_shards):
+def balance_bounds(A: CSR, B: CSR, n_shards: int) -> np.ndarray:
+    """Work-balanced row bounds: split A's rows so every shard owns
+    ~equal INTERMEDIATE PRODUCTS (sum of referenced B-row lengths), not
+    equal rows.  Equal-row splits pad every shard's forced-union class
+    plan to the heaviest shard's shapes (VERDICT round-2 weak #4 — one
+    skewed shard cost all eight its padding); equal-intprod splits make
+    the union tight.  Returns int64[D+1] with bounds[0]=0, bounds[D]=M,
+    monotone (empty shards allowed when < D heavy rows exist)."""
+    blens = np.diff(B.ptr).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(blens[A.col])])
+    p_cum = cs[A.ptr]                       # intprod prefix per row bound
+    total = int(p_cum[-1])
+    targets = (np.arange(1, n_shards, dtype=np.int64)
+               * total) // n_shards
+    inner = np.searchsorted(p_cum[1:-1], targets, side="left")
+    bounds = np.concatenate([[0], inner, [A.M]]).astype(np.int64)
+    return np.maximum.accumulate(bounds)
+
+
+def partition_rows(A: CSR, n_shards: int, value_dtype=None,
+                   bounds: Optional[np.ndarray] = None) -> RowPartition:
+    """``bounds`` (int[D+1], default equal-row split): shard d owns rows
+    [bounds[d], bounds[d+1]); every shard's arrays are padded to the max
+    shard's row/nnz counts so one static shape serves the mesh."""
+    if bounds is None:
+        R0 = -(-A.M // n_shards)
         # trailing shards can own ZERO rows when (D-1)*ceil(M/D) >= M
-        # (e.g. M=9, D=8): clamp lo too, never index A.ptr past M
-        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
-        caps.append(int(A.ptr[hi] - A.ptr[lo]) if hi > lo else 0)
+        # (e.g. M=9, D=8): clamp, never index A.ptr past M
+        bounds = np.minimum(np.arange(n_shards + 1, dtype=np.int64) * R0,
+                            A.M)
+    R = max(1, int(np.max(np.diff(bounds))))
+    caps = [int(A.ptr[bounds[d + 1]] - A.ptr[bounds[d]])
+            for d in range(n_shards)]
     cap = max(1, max(caps))
     ptr = np.zeros((n_shards, R + 1), dtype=np.int32)
     col = np.zeros((n_shards, cap), dtype=np.int32)
     val = np.zeros((n_shards, cap), dtype=value_dtype or A.val.dtype)
     nnz = np.zeros((n_shards,), dtype=np.int32)
     for d in range(n_shards):
-        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
         if hi <= lo:
             continue                       # empty shard: all-zero block
         base = A.ptr[lo]
@@ -96,7 +123,8 @@ def partition_rows(A: CSR, n_shards: int, value_dtype=None) -> RowPartition:
         val[d, :k] = A.val[base:base + k]
         nnz[d] = k
     return RowPartition(n_shards=n_shards, rows_per_shard=R, nnz_cap=cap,
-                        ptr=ptr, col=col, val=val, nnz=nnz)
+                        ptr=ptr, col=col, val=val, nnz=nnz,
+                        bounds=np.asarray(bounds, dtype=np.int64))
 
 
 def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
@@ -193,11 +221,16 @@ class RaggedFetchPlan:
 
 def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
                       bpart: RowPartition) -> RaggedFetchPlan:
-    D, RB = bpart.n_shards, bpart.rows_per_shard
-    R = apart.rows_per_shard
+    D = bpart.n_shards
+
+    def b_owner(rows):
+        """Owning B shard of each global row (bounds-aware: the A/C
+        partition may be work-balanced, partition_rows(bounds=...))."""
+        return np.searchsorted(bpart.bounds[1:], rows, side="right")
+
     needed = []            # per dst shard: sorted unique needed global rows
     for d in range(D):
-        lo, hi = d * R, min((d + 1) * R, A.M)
+        lo, hi = int(apart.bounds[d]), int(apart.bounds[d + 1])
         cols = A.col[A.ptr[lo]:A.ptr[hi]] if hi > lo else \
             np.zeros(0, np.int32)
         needed.append(np.unique(cols).astype(np.int64))
@@ -208,7 +241,7 @@ def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
     r_cap = v_cap = n_cap = 1
     for d in range(D):
         n_cap = max(n_cap, needed[d].size)
-        src = needed[d] // RB
+        src = b_owner(needed[d])
         for s in range(D):
             if s == d:
                 continue
@@ -225,7 +258,7 @@ def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
     a_col_remap = np.zeros((D, a_cap), dtype=np.int32)
     for d in range(D):
         nd = needed[d]
-        src = nd // RB
+        src = b_owner(nd)
         for s in range(D):
             sel = np.flatnonzero(src == s)
             rows = nd[sel]
@@ -233,16 +266,16 @@ def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
                 continue   # nothing owned by s is needed (or s is empty)
             lens = blens[rows]
             recv_len[d, sel] = lens.astype(np.int32)
+            s_base = B.ptr[int(bpart.bounds[s])]
             if s == d:
                 # local rows: direct offsets into the local padded block
-                # (s*RB <= rows.min() < B.M here since rows is nonempty)
-                recv_start[d, sel] = (B.ptr[rows]
-                                      - B.ptr[s * RB]).astype(np.int32)
+                recv_start[d, sel] = (B.ptr[rows] - s_base).astype(
+                    np.int32)
                 continue
             offs = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
                 if rows.size else np.zeros(0, np.int64)
             if rows.size:
-                local_start = (B.ptr[rows] - B.ptr[s * RB]).astype(np.int64)
+                local_start = (B.ptr[rows] - s_base).astype(np.int64)
                 total = int(lens.sum())
                 flat = np.repeat(local_start - offs, lens) + np.arange(
                     total, dtype=np.int64)
@@ -250,7 +283,7 @@ def plan_ragged_fetch(A: CSR, B: CSR, apart: RowPartition,
             recv_start[d, sel] = (bcap + src[sel] * v_cap + offs
                                   ).astype(np.int32)
         # remap local A cols to needed-row indices
-        lo, hi = d * R, min((d + 1) * R, A.M)
+        lo, hi = int(apart.bounds[d]), int(apart.bounds[d + 1])
         if hi > lo:
             k = int(A.ptr[hi] - A.ptr[lo])
             cols = A.col[A.ptr[lo]:A.ptr[lo] + k].astype(np.int64)
@@ -294,7 +327,8 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
         # warm state: skip planning and H2D, dispatch the cached program
         crow_nnz, col_cap, val_cap, nnz_tot = state["fn"](*state["args"])
         return _assemble(A, B, D, state["R"], state["total"],
-                         crow_nnz, col_cap, val_cap, nnz_tot)
+                         crow_nnz, col_cap, val_cap, nnz_tot,
+                         bounds=state.get("bounds"))
 
     if engine == "bucketed":
         try:
@@ -434,13 +468,17 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
     extraction in ONE shard_map program."""
     D = mesh.devices.size
     vdtype = config.vdtype
-    part = partition_rows(A, D, value_dtype=vdtype)
+    # work-balanced partition: equal intermediate products per shard,
+    # so the forced-union class spec is tight instead of padded to one
+    # heavy shard's shapes (VERDICT round-2 item 7)
+    bounds = balance_bounds(A, B, D)
+    part = partition_rows(A, D, value_dtype=vdtype, bounds=bounds)
     R = part.rows_per_shard
     blens = np.diff(B.ptr).astype(np.int64)
     per_nnz = blens[A.col]
     caps = []
     for d in range(D):
-        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
         caps.append(int(per_nnz[A.ptr[lo]:A.ptr[hi]].sum())
                     if hi > lo else 0)
     total = quantize(max(1, max(caps)))        # nnz(C_shard) upper bound
@@ -457,7 +495,7 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
     if b_strategy == "replicate":
         plans = bucketed_ops.plan_buckets_sharded(
             A.ptr, A.col, D, R, b_ptr=B.ptr,
-            dma_fill=dma_fill, vwords=vwords)
+            dma_fill=dma_fill, vwords=vwords, bounds=bounds)
     elif b_strategy == "allgather":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         RB, bcap = bpart.rows_per_shard, bpart.nnz_cap
@@ -466,7 +504,7 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
                     ).astype(np.int64)
         plans = bucketed_ops.plan_buckets_sharded(
             A.ptr, A.col, D, R, b_starts=starts_g, b_lens=blens,
-            dma_fill=dma_fill, vwords=vwords)
+            dma_fill=dma_fill, vwords=vwords, bounds=bounds)
     elif b_strategy == "ragged":
         bpart = partition_rows(B, D, value_dtype=vdtype)
         fp = plan_ragged_fetch(A, B, part, bpart)
@@ -475,7 +513,8 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
             A.ptr, A.col, D, R,
             b_starts=[fp.recv_start[d].astype(np.int64) for d in range(D)],
             b_lens=[fp.recv_len[d].astype(np.int64) for d in range(D)],
-            a_col_shards=a_cols, dma_fill=dma_fill, vwords=vwords)
+            a_col_shards=a_cols, dma_fill=dma_fill, vwords=vwords,
+            bounds=bounds)
     else:
         raise SpGEMMError(f"unknown b_strategy {b_strategy!r}")
 
@@ -571,9 +610,9 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         check_vma=False))
     crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
     if state is not None:
-        state.update(fn=fn, args=args, R=R, total=total)
+        state.update(fn=fn, args=args, R=R, total=total, bounds=bounds)
     return _assemble(A, B, D, R, total, crow_nnz, col_cap, val_cap,
-                     nnz_tot)
+                     nnz_tot, bounds=bounds)
 
 
 def _shard_bucketed_overlap_kernel(local_arrays, halo_arrays, a_val,
@@ -783,9 +822,18 @@ def _dist_chunked(A: CSR, B: CSR, mesh: Mesh, config: SpGEMMConfig,
 
 
 def _assemble(A: CSR, B: CSR, D: int, R: int, total: int,
-              crow_nnz, col_cap, val_cap, nnz_tot) -> CSR:
-    """Host assembly: trim each shard's capacity block to its true nnz."""
-    crow_nnz = _to_np(crow_nnz).reshape(D * R)[:A.M]
+              crow_nnz, col_cap, val_cap, nnz_tot,
+              bounds=None) -> CSR:
+    """Host assembly: trim each shard's capacity block to its true nnz.
+
+    ``bounds``: owned row ranges under a work-balanced partition (each
+    shard's crow block is padded to R rows; trailing pad rows are 0)."""
+    if bounds is not None:
+        blk = _to_np(crow_nnz).reshape(D, R)
+        crow_nnz = np.concatenate(
+            [blk[d, :int(bounds[d + 1] - bounds[d])] for d in range(D)])
+    else:
+        crow_nnz = _to_np(crow_nnz).reshape(D * R)[:A.M]
     nnz_tot = _to_np(nnz_tot).reshape(D)
     col_cap = _to_np(col_cap).reshape(D, total)
     val_cap = _to_np(val_cap).reshape(D, total)

@@ -192,6 +192,32 @@ def test_dist_multiprocess():
         assert f"proc {i}: multiprocess dist OK" in out
 
 
+def test_work_balanced_bounds_cut_skew():
+    """Equal-intprod bounds (VERDICT round-2 item 7): on a skewed
+    power-law matrix the heaviest shard's work under balanced bounds is
+    far closer to the mean than under the equal-row split."""
+    from mh_spgemm_tpu.parallel.spgemm_dist import balance_bounds
+    A = gen.powerlaw(400, avg_nnz=6, seed=55)
+    D = 8
+    blens = np.diff(A.ptr).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(blens[A.col])])
+    p_cum = cs[A.ptr]
+
+    def skew(bounds):
+        w = np.diff(p_cum[bounds])
+        return w.max() / max(1, w.mean())
+
+    R = -(-A.M // D)
+    uniform = np.minimum(np.arange(D + 1) * R, A.M)
+    balanced = balance_bounds(A, A, D)
+    assert skew(balanced) <= skew(uniform)
+    assert skew(balanced) < 1.6
+    # and the engine is still correct under the balanced partition
+    mesh = _mesh(D)
+    C = spgemm_dist(A, None, mesh, b_strategy="ragged")
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
 @pytest.mark.parametrize("strategy", ["replicate", "allgather", "ragged"])
 def test_dist_mosaic_fill_matches_oracle(strategy):
     """Mosaic ragged-fill expansion under shard_map (VERDICT round-2
