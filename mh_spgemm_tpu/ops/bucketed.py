@@ -628,10 +628,12 @@ def pairs_device(b_col: jax.Array, b_val, vwords: int,
         words = (col,
                  jax.lax.bitcast_convert_type(b_val[0], jnp.int32),
                  jax.lax.bitcast_convert_type(b_val[1], jnp.int32))
-    elif vwords == 2:
-        w = jax.lax.bitcast_convert_type(b_val, jnp.int32)  # [nnz, 2]
-        words = (col, w[:, 0], w[:, 1])
     else:
+        # f64 values MUST arrive as Dekker (hi, lo) f32 planes (df=True):
+        # bitcast_convert_type f64 -> i32 does not lower on this TPU
+        # backend (memory: mosaic-kernel-gotchas), so there is no raw
+        # f64 word encode on device
+        assert vwords == 1, "device-side f64 pairs require df=True"
         words = (col, jax.lax.bitcast_convert_type(
             b_val.astype(jnp.float32), jnp.int32))
     flat = jnp.stack(words, axis=1).reshape(-1)

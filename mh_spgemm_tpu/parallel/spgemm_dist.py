@@ -29,6 +29,7 @@ from ..config import DEFAULT_CONFIG, SpGEMMConfig
 from ..csr import CSR
 from ..errors import ShapeMismatchError, SpGEMMError, require
 from ..ops import bucketed as bucketed_ops
+from ..ops import esc_tail as esc_tail_ops
 from ..ops.expand import expand_products_sl
 from ..ops.scan import compact, exclusive_cumsum, rows_reduce_int, seg_scan
 from ..ops.shapes import quantize
@@ -174,7 +175,8 @@ def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
 def _shard_bucketed_kernel(class_arrays, a_val, slab_start,
                            b_col_flat, b_val_flat, pairs2d,
                            *, specs, m_cap: int, nnz_cap: int,
-                           rows_local: int, interpret: bool = False):
+                           rows_local: int, interpret: bool = False,
+                           df: bool = False):
     """Per-shard BUCKETED SpGEMM on the local row block (the production
     single-chip engine under shard_map — replaces the flat ESC kernel
     as the distributed compute path, VERDICT round-1 item 3).
@@ -185,16 +187,24 @@ def _shard_bucketed_kernel(class_arrays, a_val, slab_start,
     shards, so this one program serves every device.  ``pairs2d`` is
     the interleaved Mosaic-fill transport stream in the same address
     space (built on device AFTER the collective for the gathered /
-    halo layouts — bucketed_ops.pairs_device)."""
-    a_val = a_val.reshape(-1)
+    halo layouts — bucketed_ops.pairs_device).
+
+    ``df``: f64 values ride the double-f32 pipeline end to end — A and
+    B values arrive as stacked (hi, lo) f32 Dekker planes (so the
+    collectives move two f32 planes, the same bytes as one f64), no
+    emulated-f64 op runs on device, and the extraction recombines to
+    f64 once on the nnz-sized output (see config.SpGEMMConfig.df32)."""
+    a_val = a_val.reshape(2, -1) if df else a_val.reshape(-1)
+    b_val = b_val_flat.reshape(2, -1) if df else b_val_flat.reshape(-1)
     if pairs2d is None:
         pairs2d = jnp.zeros((1, 128), jnp.int32)
     crow, cptr, totals, slabs = bucketed_ops.bucketed_main(
         class_arrays, a_val, b_col_flat.reshape(-1),
-        b_val_flat.reshape(-1), pairs2d, specs=specs, m=m_cap,
-        interpret=interpret)
+        b_val, pairs2d, specs=specs, m=m_cap,
+        interpret=interpret, df=df)
     ccol, cval = bucketed_ops.bucketed_extract(
-        slabs, slab_start.reshape(-1), cptr, m=m_cap, nnz_cap=nnz_cap)
+        slabs, slab_start.reshape(-1), cptr, m=m_cap, nnz_cap=nnz_cap,
+        df=df)
     nnz_tot = cptr[m_cap]
     return (crow[:rows_local][None], ccol[None], cval[None],
             nnz_tot.reshape(1))
@@ -487,14 +497,34 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
 
     shard = NamedSharding(mesh, P(ROWS))
     repl = NamedSharding(mesh, P())
-    a_val = _put(part.val, shard)
     vwords = 2 if np.dtype(vdtype) == np.float64 else 1
+    # double-f32 pipeline for f64 (config.df32, cf. single-chip
+    # spgemm_bucketed): values cross the collectives as (hi, lo) f32
+    # planes and no emulated-f64 op runs on any shard.  Guarded at plan
+    # time by the value-range bound; 2*p_max bounds any class width.
+    p_row_max = int(np.max(np.diff(np.concatenate(
+        [[0], np.cumsum(per_nnz)])[A.ptr]), initial=0))
+    use_df = (vwords == 2 and config.df32 != "off"
+              and (config.df32 == "on" or esc_tail_ops.df_range_ok(
+                  A.val, B.val, 2 * max(1, p_row_max))))
     dma_fill = config.dma_fill
-    interpret = dma_fill == "interpret"
+    if vwords == 2 and not use_df:
+        # no raw-f64 word encode exists on device (f64 bitcasts do not
+        # lower on this backend): without df the fill frontend is off
+        dma_fill = "off"
+    interpret = config.dma_fill == "interpret"
+    if use_df:
+        hi, lo = esc_tail_ops.dekker_split_np(
+            part.val.astype(np.float64))
+        a_val = _put(np.stack([hi, lo], axis=1), shard)   # [D, 2, cap]
+    else:
+        a_val = _put(part.val, shard)
 
     if b_strategy == "replicate":
         plans = bucketed_ops.plan_buckets_sharded(
             A.ptr, A.col, D, R, b_ptr=B.ptr,
+            min_width=config.min_bucket_width,
+            area_cap=config.bucket_area_cap,
             dma_fill=dma_fill, vwords=vwords, bounds=bounds)
     elif b_strategy == "allgather":
         bpart = partition_rows(B, D, value_dtype=vdtype)
@@ -504,6 +534,8 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
                     ).astype(np.int64)
         plans = bucketed_ops.plan_buckets_sharded(
             A.ptr, A.col, D, R, b_starts=starts_g, b_lens=blens,
+            min_width=config.min_bucket_width,
+            area_cap=config.bucket_area_cap,
             dma_fill=dma_fill, vwords=vwords, bounds=bounds)
     elif b_strategy == "ragged":
         bpart = partition_rows(B, D, value_dtype=vdtype)
@@ -513,8 +545,9 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
             A.ptr, A.col, D, R,
             b_starts=[fp.recv_start[d].astype(np.int64) for d in range(D)],
             b_lens=[fp.recv_len[d].astype(np.int64) for d in range(D)],
-            a_col_shards=a_cols, dma_fill=dma_fill, vwords=vwords,
-            bounds=bounds)
+            a_col_shards=a_cols, min_width=config.min_bucket_width,
+            area_cap=config.bucket_area_cap,
+            dma_fill=dma_fill, vwords=vwords, bounds=bounds)
     else:
         raise SpGEMMError(f"unknown b_strategy {b_strategy!r}")
 
@@ -548,15 +581,22 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
 
     kern = functools.partial(_shard_bucketed_kernel, specs=specs,
                              m_cap=m_cap, nnz_cap=total, rows_local=R,
-                             interpret=interpret)
+                             interpret=interpret, df=use_df)
+
+    def split_vals(v2d):
+        """Per-shard B value blocks as [D, 2, cap] Dekker planes."""
+        hi, lo = esc_tail_ops.dekker_split_np(v2d.astype(np.float64))
+        return np.stack([hi, lo], axis=1)
 
     if b_strategy == "replicate":
         b_col = _put(B.col.astype(np.int32), repl)
-        b_val = _put(B.val.astype(vdtype), repl)
+        b_val = _put(np.stack(esc_tail_ops.dekker_split_np(
+            B.val.astype(np.float64))) if use_df
+            else B.val.astype(vdtype), repl)
         # replicated B: the pairs stream is shard-independent, build it
         # once on host exactly like the single-chip path
         pairs = _put(bucketed_ops.build_pairs(
-            B.col, B.val.astype(vdtype), vwords, wrows_max)
+            B.col, B.val.astype(vdtype), vwords, wrows_max, df=use_df)
             if use_fill else np.zeros((1, 128), np.int32), repl)
 
         def wrapped(a_val, slab_start, b_col, b_val, pairs, *fl):
@@ -568,15 +608,19 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         args = (a_val, slab_start, b_col, b_val, pairs, *flat)
     elif b_strategy == "allgather":
         b_col_l = _put(bpart.col, shard)
-        b_val_l = _put(bpart.val, shard)
+        b_val_l = _put(split_vals(bpart.val) if use_df else bpart.val,
+                       shard)
 
         def wrapped(a_val, slab_start, b_col_l, b_val_l, *fl):
             bc = jax.lax.all_gather(b_col_l[0], ROWS).reshape(-1)
-            bv = jax.lax.all_gather(b_val_l[0], ROWS).reshape(-1)
+            bvg = jax.lax.all_gather(b_val_l[0], ROWS)   # [D,(2,)cap]
+            bv = jnp.moveaxis(bvg, 0, 1).reshape(2, -1) if use_df \
+                else bvg.reshape(-1)
             # re-encode the gathered payload into the fill transport
             # stream ON DEVICE (B travelled compact over the collective)
             pairs = bucketed_ops.pairs_device(
-                bc, bv, vwords, wrows_max) if use_fill else None
+                bc, bv, vwords, wrows_max, df=use_df) \
+                if use_fill else None
             return kern(unstack(fl), a_val, slab_start[0], bc, bv,
                         pairs)
 
@@ -584,18 +628,28 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
         args = (a_val, slab_start, b_col_l, b_val_l, *flat)
     else:                                       # ragged
         b_col_l = _put(bpart.col, shard)
-        b_val_l = _put(bpart.val, shard)
+        b_val_l = _put(split_vals(bpart.val) if use_df else bpart.val,
+                       shard)
         send_src = _put(fp.send_src, shard)
 
         def wrapped(a_val, slab_start, b_col_l, b_val_l, send_src, *fl):
             pc = b_col_l[0][send_src[0]]
-            pv = b_val_l[0][send_src[0]]
             rc = jax.lax.all_to_all(pc, ROWS, split_axis=0, concat_axis=0)
-            rv = jax.lax.all_to_all(pv, ROWS, split_axis=0, concat_axis=0)
             bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
-            bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
+            if use_df:
+                pv = b_val_l[0][:, send_src[0]]          # [2, D, v_cap]
+                rv = jax.lax.all_to_all(pv, ROWS, split_axis=1,
+                                        concat_axis=1)
+                bv = jnp.concatenate([b_val_l[0], rv.reshape(2, -1)],
+                                     axis=1)
+            else:
+                pv = b_val_l[0][send_src[0]]
+                rv = jax.lax.all_to_all(pv, ROWS, split_axis=0,
+                                        concat_axis=0)
+                bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
             pairs = bucketed_ops.pairs_device(
-                bc, bv, vwords, wrows_max) if use_fill else None
+                bc, bv, vwords, wrows_max, df=use_df) \
+                if use_fill else None
             return kern(unstack(fl), a_val, slab_start[0], bc, bv,
                         pairs)
 
