@@ -88,6 +88,12 @@ class SpGEMMConfig:
     # "on" forces it, "off" keeps the XLA gather expansion,
     # "interpret" forces it in Pallas interpreter mode (CPU tests).
     dma_fill: str = "auto"
+    # Distributed halo transport for the ragged strategies: "xla" runs
+    # lax.all_to_all on XLA's async collective streams (overlaps with
+    # the local-row stage's compute — the ragged_overlap mechanism);
+    # "pallas" uses the explicit double-buffered async-remote-copy
+    # kernel (ops/remote_fetch.py) — one direct RDMA per destination.
+    comm_backend: str = "xla"
     # Double-f32 value pipeline for float64 (ops/esc_tail.py helpers):
     # the TPU has no native f64 — XLA emulates it at ~2.3 ns/slot per
     # arithmetic pass (measured, scripts/profile_tail.py).  "auto" runs

@@ -30,6 +30,7 @@ from ..csr import CSR
 from ..errors import ShapeMismatchError, SpGEMMError, require
 from ..ops import bucketed as bucketed_ops
 from ..ops import esc_tail as esc_tail_ops
+from ..ops import remote_fetch
 from ..ops.expand import expand_products_sl
 from ..ops.scan import compact, exclusive_cumsum, rows_reduce_int, seg_scan
 from ..ops.shapes import quantize
@@ -632,21 +633,52 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
                        shard)
         send_src = _put(fp.send_src, shard)
 
+        pallas_comm = (config.comm_backend == "pallas"
+                       and (use_df or vwords == 1))
+
         def wrapped(a_val, slab_start, b_col_l, b_val_l, send_src, *fl):
             pc = b_col_l[0][send_src[0]]
-            rc = jax.lax.all_to_all(pc, ROWS, split_axis=0, concat_axis=0)
-            bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
-            if use_df:
-                pv = b_val_l[0][:, send_src[0]]          # [2, D, v_cap]
-                rv = jax.lax.all_to_all(pv, ROWS, split_axis=1,
-                                        concat_axis=1)
-                bv = jnp.concatenate([b_val_l[0], rv.reshape(2, -1)],
-                                     axis=1)
+            if pallas_comm:
+                # explicit double-buffered RDMA exchange: one direct
+                # remote copy per destination, columns + value word
+                # planes packed into a single transfer
+                f32 = jnp.float32
+                if use_df:
+                    vplanes = (b_val_l[0][0][send_src[0]],
+                               b_val_l[0][1][send_src[0]])
+                else:
+                    vplanes = (b_val_l[0][send_src[0]].astype(f32),)
+                words = [pc] + [jax.lax.bitcast_convert_type(v, jnp.int32)
+                                for v in vplanes]
+                recv = remote_fetch.exchange_planes(
+                    words, axis=ROWS, n_devices=D, interpret=interpret)
+                rc, rvw = recv[0], recv[1:]
+                bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
+                rvp = [jax.lax.bitcast_convert_type(w, f32) for w in rvw]
+                if use_df:
+                    bv = jnp.concatenate(
+                        [b_val_l[0],
+                         jnp.stack([v.reshape(-1) for v in rvp])],
+                        axis=1)
+                else:
+                    bv = jnp.concatenate(
+                        [b_val_l[0],
+                         rvp[0].reshape(-1).astype(b_val_l.dtype)])
             else:
-                pv = b_val_l[0][send_src[0]]
-                rv = jax.lax.all_to_all(pv, ROWS, split_axis=0,
+                rc = jax.lax.all_to_all(pc, ROWS, split_axis=0,
                                         concat_axis=0)
-                bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
+                bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
+                if use_df:
+                    pv = b_val_l[0][:, send_src[0]]      # [2, D, v_cap]
+                    rv = jax.lax.all_to_all(pv, ROWS, split_axis=1,
+                                            concat_axis=1)
+                    bv = jnp.concatenate(
+                        [b_val_l[0], rv.reshape(2, -1)], axis=1)
+                else:
+                    pv = b_val_l[0][send_src[0]]
+                    rv = jax.lax.all_to_all(pv, ROWS, split_axis=0,
+                                            concat_axis=0)
+                    bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
             pairs = bucketed_ops.pairs_device(
                 bc, bv, vwords, wrows_max, df=use_df) \
                 if use_fill else None
