@@ -173,6 +173,29 @@ def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
             nnz_total.reshape(1))
 
 
+def _stack_plans(plans, shard):
+    """Stack per-shard class descriptor arrays for shard_map transport.
+    Per-class names mirror upload_plan's tuples: fill classes carry
+    (row_len, win_row, runs) instead of ent_src."""
+    cls_names = [
+        ("rows_g", "ent_dst", "ent_len", "ent_aidx", "row_len",
+         "win_row", "runs") if c.fill else
+        ("rows_g", "ent_dst", "ent_src", "ent_len", "ent_aidx")
+        for c in plans[0].classes]
+    flat = [_put(np.stack([getattr(p.classes[i], name) for p in plans]),
+                 shard)
+            for i, names in enumerate(cls_names) for name in names]
+    return flat, [len(n) for n in cls_names]
+
+
+def _unstack_counts(fl, counts):
+    out, k = [], 0
+    for n in counts:
+        out.append(tuple(fl[k + j][0] for j in range(n)))
+        k += n
+    return out
+
+
 def _shard_bucketed_kernel(class_arrays, a_val, slab_start,
                            b_col_flat, b_val_flat, pairs2d,
                            *, specs, m_cap: int, nnz_cap: int,
@@ -556,29 +579,12 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
     m_cap = plans[0].m_cap
     use_fill = bucketed_ops.needs_pairs(plans[0])
     wrows_max = bucketed_ops.pairs_wrows_max(plans[0])
-    # per-class descriptor names mirror upload_plan's tuples: fill
-    # classes carry (row_len, win_row, runs) instead of ent_src
-    cls_names = [
-        ("rows_g", "ent_dst", "ent_len", "ent_aidx", "row_len",
-         "win_row", "runs") if c.fill else
-        ("rows_g", "ent_dst", "ent_src", "ent_len", "ent_aidx")
-        for c in plans[0].classes]
-    flat = []
-    for i, names in enumerate(cls_names):
-        for name in names:
-            flat.append(_put(np.stack(
-                [getattr(p.classes[i], name) for p in plans]), shard))
+    flat, counts = _stack_plans(plans, shard)
     slab_start = _put(
         np.stack([p.slab_row_start for p in plans]), shard)
 
-    counts = [len(n) for n in cls_names]
-
     def unstack(fl):
-        out, k = [], 0
-        for n in counts:
-            out.append(tuple(fl[k + j][0] for j in range(n)))
-            k += n
-        return out
+        return _unstack_counts(fl, counts)
 
     kern = functools.partial(_shard_bucketed_kernel, specs=specs,
                              m_cap=m_cap, nnz_cap=total, rows_local=R,
@@ -703,40 +709,61 @@ def _spgemm_dist_bucketed(A: CSR, B: CSR, mesh: Mesh,
 
 def _shard_bucketed_overlap_kernel(local_arrays, halo_arrays, a_val,
                                    slab_start, b_col_l, b_val_l,
-                                   send_src, *, specs_l, specs_h,
-                                   m_cap: int, nnz_cap: int,
-                                   rows_local: int):
+                                   send_src, pairs_l, *, specs_l,
+                                   specs_h, m_cap: int, nnz_cap: int,
+                                   rows_local: int, vwords: int,
+                                   wrows_max_h: int,
+                                   use_fill_h: bool = False,
+                                   interpret: bool = False,
+                                   df: bool = False):
     """Overlapped ragged shard kernel: the halo ``all_to_all`` is issued
     FIRST but its result is consumed only by the halo-row stage, so
     XLA's async-collective scheduling runs the exchange over ICI/DCN
     concurrently with the local-row stage's compute (SURVEY.md §5.8:
     remote fetch overlapped with local accumulation).  Local-only rows
     and halo rows are disjoint, so one merged extraction emits the CSR.
-    """
-    a_val = a_val.reshape(-1)
-    dummy_pairs = jnp.zeros((1, 128), jnp.int32)
+
+    Stage 1 (local-only rows) reads the shard's own B block — its Mosaic
+    pairs stream ``pairs_l`` is host-built per shard and resident before
+    the exchange, so the fill frontend also overlaps the collective;
+    stage 2's stream is re-encoded on device from the [local | halo]
+    payload after the exchange lands.  ``df`` as in
+    ``_shard_bucketed_kernel``."""
+    a_val = a_val.reshape(2, -1) if df else a_val.reshape(-1)
+    bl_col = b_col_l.reshape(-1)
+    bl_val = b_val_l.reshape(2, -1) if df else b_val_l.reshape(-1)
     # start the exchange (async on TPU): pack host-planned payloads
-    pc = b_col_l[0][send_src[0]]
-    pv = b_val_l[0][send_src[0]]
+    pc = bl_col[send_src[0]]
     rc = jax.lax.all_to_all(pc, ROWS, split_axis=0, concat_axis=0)
-    rv = jax.lax.all_to_all(pv, ROWS, split_axis=0, concat_axis=0)
+    if df:
+        pv = bl_val[:, send_src[0]]                  # [2, D, v_cap]
+        rv = jax.lax.all_to_all(pv, ROWS, split_axis=1, concat_axis=1)
+    else:
+        pv = bl_val[send_src[0]]
+        rv = jax.lax.all_to_all(pv, ROWS, split_axis=0, concat_axis=0)
     # stage 1: rows whose every reference is shard-local — depends only
     # on the local block, overlaps the in-flight exchange
     crow1, _, _, slabs1 = bucketed_ops.bucketed_main(
-        local_arrays, a_val, b_col_l[0], b_val_l[0], dummy_pairs,
-        specs=specs_l, m=m_cap)
+        local_arrays, a_val, bl_col, bl_val, pairs_l,
+        specs=specs_l, m=m_cap, interpret=interpret, df=df)
     # stage 2: halo rows against the [local | halo] payload layout
-    bc = jnp.concatenate([b_col_l[0], rc.reshape(-1)])
-    bv = jnp.concatenate([b_val_l[0], rv.reshape(-1)])
+    bc = jnp.concatenate([bl_col, rc.reshape(-1)])
+    if df:
+        bv = jnp.concatenate([bl_val, rv.reshape(2, -1)], axis=1)
+    else:
+        bv = jnp.concatenate([bl_val, rv.reshape(-1)])
+    pairs_h = bucketed_ops.pairs_device(
+        bc, bv, vwords, wrows_max_h, df=df) if use_fill_h else \
+        jnp.zeros((1, 128), jnp.int32)
     crow2, _, _, slabs2 = bucketed_ops.bucketed_main(
-        halo_arrays, a_val, bc, bv, dummy_pairs,
-        specs=specs_h, m=m_cap)
+        halo_arrays, a_val, bc, bv, pairs_h,
+        specs=specs_h, m=m_cap, interpret=interpret, df=df)
     crow = crow1 + crow2                      # disjoint row sets
     cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(crow)])
     ccol, cval = bucketed_ops.bucketed_extract(
         slabs1 + slabs2, slab_start.reshape(-1), cptr, m=m_cap,
-        nnz_cap=nnz_cap)
+        nnz_cap=nnz_cap, df=df)
     return (crow[:rows_local][None], ccol[None], cval[None],
             cptr[m_cap].reshape(1))
 
@@ -744,24 +771,37 @@ def _shard_bucketed_overlap_kernel(local_arrays, halo_arrays, a_val,
 def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
                                 config: SpGEMMConfig,
                                 state: Optional[dict]) -> CSR:
-    """Plan and dispatch the overlapped ragged-bucketed path."""
+    """Plan and dispatch the overlapped ragged-bucketed path (work-
+    balanced partition, production width classes, df32 values and the
+    Mosaic fill on both stages — parity with _spgemm_dist_bucketed)."""
     D = mesh.devices.size
     vdtype = config.vdtype
-    part = partition_rows(A, D, value_dtype=vdtype)
+    bounds = balance_bounds(A, B, D)
+    part = partition_rows(A, D, value_dtype=vdtype, bounds=bounds)
     R = part.rows_per_shard
     blens = np.diff(B.ptr).astype(np.int64)
     per_nnz = blens[A.col]
     caps = []
     for d in range(D):
-        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
         caps.append(int(per_nnz[A.ptr[lo]:A.ptr[hi]].sum())
                     if hi > lo else 0)
     total = quantize(max(1, max(caps)))
     require(total < 2**31, SpGEMMError,
             "per-shard product stream exceeds int32")
 
+    vwords = 2 if np.dtype(vdtype) == np.float64 else 1
+    p_row_max = int(np.max(np.diff(np.concatenate(
+        [[0], np.cumsum(per_nnz)])[A.ptr]), initial=0))
+    use_df = (vwords == 2 and config.df32 != "off"
+              and (config.df32 == "on" or esc_tail_ops.df_range_ok(
+                  A.val, B.val, 2 * max(1, p_row_max))))
+    dma_fill = config.dma_fill
+    if vwords == 2 and not use_df:
+        dma_fill = "off"              # no raw-f64 word encode on device
+    interpret = config.dma_fill == "interpret"
+
     bpart = partition_rows(B, D, value_dtype=vdtype)
-    RB = bpart.rows_per_shard
     fp = plan_ragged_fetch(A, B, part, bpart)
     n_cap = fp.recv_len.shape[1]
 
@@ -771,10 +811,11 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
     loc_cols, halo_cols = [], []
     loc_starts, loc_lens, halo_starts, halo_lens = [], [], [], []
     for d in range(D):
-        lo, hi = min(d * R, A.M), min((d + 1) * R, A.M)
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
         k = int(A.ptr[hi] - A.ptr[lo]) if hi > lo else 0
         cols = A.col[A.ptr[lo]:A.ptr[lo] + k].astype(np.int64)
-        is_remote = (cols // RB) != d
+        is_remote = np.searchsorted(bpart.bounds[1:], cols,
+                                    side="right") != d
         row_of = np.repeat(np.arange(max(hi - lo, 0)),
                            np.diff(A.ptr[lo:hi + 1])) if hi > lo else \
             np.zeros(0, np.int64)
@@ -784,7 +825,7 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
         ent_is_halo = halo_row[row_of] if k else np.zeros(0, bool)
         # stage-1 layout: local block CSR + zero-length sentinel (halo
         # rows' entries land there and fall out of stage-1's classes)
-        base = B.ptr[d * RB] if d * RB < B.M else B.ptr[-1]
+        base = B.ptr[int(bpart.bounds[d])]
         loc_cols.append(np.where(ent_is_halo, B.M, cols).astype(np.int32))
         loc_starts.append(np.concatenate([B.ptr[:-1] - base, [0]]))
         loc_lens.append(np.concatenate([blens, [0]]))
@@ -796,12 +837,15 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
         halo_cols.append(hc.astype(np.int32))
         halo_starts.append(hs)
         halo_lens.append(hl)
+    plan_kw = dict(min_width=config.min_bucket_width,
+                   area_cap=config.bucket_area_cap, dma_fill=dma_fill,
+                   vwords=vwords, bounds=bounds)
     plans_l = bucketed_ops.plan_buckets_sharded(
         A.ptr, A.col, D, R, b_starts=loc_starts, b_lens=loc_lens,
-        a_col_shards=loc_cols)
+        a_col_shards=loc_cols, **plan_kw)
     plans_h = bucketed_ops.plan_buckets_sharded(
         A.ptr, A.col, D, R, b_starts=halo_starts, b_lens=halo_lens,
-        a_col_shards=halo_cols)
+        a_col_shards=halo_cols, **plan_kw)
     specs_l = tuple(c.spec for c in plans_l[0].classes)
     specs_h = tuple(c.spec for c in plans_h[0].classes)
     m_cap = plans_l[0].m_cap
@@ -817,45 +861,59 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
         for d in range(D)]).astype(np.int32)
 
     shard = NamedSharding(mesh, P(ROWS))
-    a_val = _put(part.val, shard)
+    if use_df:
+        hi_, lo_ = esc_tail_ops.dekker_split_np(
+            part.val.astype(np.float64))
+        a_val = _put(np.stack([hi_, lo_], axis=1), shard)
+        bhi, blo = esc_tail_ops.dekker_split_np(
+            bpart.val.astype(np.float64))
+        b_val_l = _put(np.stack([bhi, blo], axis=1), shard)
+    else:
+        a_val = _put(part.val, shard)
+        b_val_l = _put(bpart.val, shard)
     b_col_l = _put(bpart.col, shard)
-    b_val_l = _put(bpart.val, shard)
     send_src = _put(fp.send_src, shard)
-    narr = 5
-    flat_l, flat_h = [], []
-    for plans, flat in ((plans_l, flat_l), (plans_h, flat_h)):
-        for i in range(len(plans[0].classes)):
-            for name in ("rows_g", "ent_dst", "ent_src", "ent_len",
-                         "ent_aidx"):
-                flat.append(_put(np.stack(
-                    [getattr(p.classes[i], name) for p in plans]), shard))
+    # stage-1 fill stream: per-shard local-block pairs, host-built and
+    # device-resident BEFORE the exchange (overlaps the collective)
+    use_fill_l = bucketed_ops.needs_pairs(plans_l[0])
+    use_fill_h = bucketed_ops.needs_pairs(plans_h[0])
+    wrows_l = bucketed_ops.pairs_wrows_max(plans_l[0])
+    wrows_h = bucketed_ops.pairs_wrows_max(plans_h[0])
+    if use_fill_l:
+        pairs_l = _put(np.stack([bucketed_ops.build_pairs(
+            bpart.col[d], bpart.val[d].astype(vdtype), vwords, wrows_l,
+            df=use_df) for d in range(D)]), shard)
+    else:
+        pairs_l = _put(np.zeros((D, 1, 128), np.int32), shard)
+    flat_l, counts_l = _stack_plans(plans_l, shard)
+    flat_h, counts_h = _stack_plans(plans_h, shard)
     slab_start_d = _put(slab_start, shard)
 
-    def unstack(fl, n):
-        return [tuple(fl[i * narr + j][0] for j in range(narr))
-                for i in range(n)]
+    nl = len(flat_l)
 
-    nl = len(specs_l)
-
-    def wrapped(a_val, slab_start, b_col_l, b_val_l, send_src, *fl):
+    def wrapped(a_val, slab_start, b_col_l, b_val_l, send_src, pairs_l,
+                *fl):
         return _shard_bucketed_overlap_kernel(
-            unstack(fl[:nl * narr], nl), unstack(fl[nl * narr:],
-                                                 len(specs_h)),
-            a_val, slab_start[0], b_col_l, b_val_l, send_src,
-            specs_l=specs_l, specs_h=specs_h, m_cap=m_cap,
-            nnz_cap=total, rows_local=R)
+            _unstack_counts(fl[:nl], counts_l),
+            _unstack_counts(fl[nl:], counts_h),
+            a_val, slab_start[0], b_col_l[0], b_val_l[0], send_src,
+            pairs_l[0], specs_l=specs_l, specs_h=specs_h, m_cap=m_cap,
+            nnz_cap=total, rows_local=R, vwords=vwords,
+            wrows_max_h=wrows_h, use_fill_h=use_fill_h,
+            interpret=interpret, df=use_df)
 
-    args = (a_val, slab_start_d, b_col_l, b_val_l, send_src,
+    args = (a_val, slab_start_d, b_col_l, b_val_l, send_src, pairs_l,
             *flat_l, *flat_h)
     fn = jax.jit(jax.shard_map(
         wrapped, mesh=mesh,
         in_specs=(P(ROWS),) * len(args),
-        out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS))))
+        out_specs=(P(ROWS), P(ROWS), P(ROWS), P(ROWS)),
+        check_vma=False))
     crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
     if state is not None:
-        state.update(fn=fn, args=args, R=R, total=total)
+        state.update(fn=fn, args=args, R=R, total=total, bounds=bounds)
     return _assemble(A, B, D, R, total, crow_nnz, col_cap, val_cap,
-                     nnz_tot)
+                     nnz_tot, bounds=bounds)
 
 
 def _rows_in(plan) -> np.ndarray:

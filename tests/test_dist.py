@@ -257,6 +257,19 @@ def test_dist_ragged_overlap_matches_oracle(n):
         assert C.equals(oracle_spgemm(A, A), tol=1e-9)
 
 
+def test_dist_ragged_overlap_mosaic_fill():
+    """Overlap path with the fill frontend on BOTH stages: stage 1's
+    pairs stream is host-built per shard (resident before the exchange),
+    stage 2's is re-encoded on device from the [local | halo] payload."""
+    mesh = _mesh(4)
+    cfg = SpGEMMConfig(dma_fill="interpret")
+    for A in (gen.banded(120, band=9, nnz_per_row=5, seed=21),
+              gen.powerlaw(300, avg_nnz=5, seed=22)):
+        C = spgemm_dist(A, None, mesh, config=cfg,
+                        b_strategy="ragged_overlap")
+        assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
 def test_dist_ragged_overlap_state_reuse():
     mesh = _mesh(4)
     A = gen.banded(100, band=7, nnz_per_row=4, seed=30)
