@@ -88,6 +88,15 @@ class SpGEMMConfig:
     # "on" forces it, "off" keeps the XLA gather expansion,
     # "interpret" forces it in Pallas interpreter mode (CPU tests).
     dma_fill: str = "auto"
+    # Mosaic ESC tail (ops/esc_tail.py): run the per-chunk sort +
+    # segmented accumulate + left-pack as one VMEM-resident Pallas
+    # kernel instead of XLA sorts/scans, for power-of-two width classes
+    # riding the f32/df32 value pipeline.  "auto" defers to the
+    # measured-cost default (currently XLA: batched in-row lax.sort is
+    # ~free on this backend, memory: mosaic-kernel-gotchas), "on"
+    # forces it on TPU, "interpret" forces it in interpreter mode
+    # (CPU tests), "off" disables.
+    esc_tail: str = "auto"
     # Distributed halo transport for the ragged strategies: "xla" runs
     # lax.all_to_all on XLA's async collective streams (overlaps with
     # the local-row stage's compute — the ragged_overlap mechanism);

@@ -58,6 +58,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import esc_tail as esc_tail_mod
 from . import ragged_fill as rf
 from .esc_tail import df_add_xla, df_mul_xla, dekker_split_np
 from .shapes import quantize
@@ -751,13 +752,37 @@ def _seg_sum_rows_df(vh, vl, new, passes: int):
     return vh, vl
 
 
-def _chunk_tail(K, prod, *, rb: int, seg_passes: int, df: bool = False):
+def _chunk_tail(K, prod, *, rb: int, seg_passes: int, df: bool = False,
+                W: int = 0, tail: str = "off"):
     """Shared per-chunk tail: sort by column, segment-sum equal-column
     runs (the hash-accumulate analogue, inc/numeric.cuh:215-258), then
     left-pack the survivors (table compaction, inc/numeric.cuh:264-297).
 
     Under ``df`` the value payload is an (hi, lo) f32 pair and the
-    returned ``oV`` is stacked [2, rb, W] — no f64 op ever runs."""
+    returned ``oV`` is stacked [2, rb, W] — no f64 op ever runs.
+
+    ``tail`` in ("on", "interpret") routes power-of-two-width classes
+    on the f32/df32 value pipeline through the fused Mosaic kernel
+    (ops/esc_tail.py: bitonic in-segment sort + compensated segmented
+    accumulate + left-pack, all in VMEM) instead of the XLA ops below
+    (config.SpGEMMConfig.esc_tail)."""
+    f32_vals = df or (not isinstance(prod, tuple)
+                      and prod.dtype == jnp.float32)
+    if (tail in ("on", "interpret") and f32_vals
+            and esc_tail_mod.supported_w2(W)):
+        H, L = prod if df else (prod, None)
+        bits = jax.lax.bitcast_convert_type
+        row_len = jnp.full((rb,), np.int32(W))   # K is pre-masked
+        oK, oh, ol = esc_tail_mod.esc_tail(
+            K, bits(H, jnp.int32), bits(L if df else H, jnp.int32),
+            row_len, w2=W, f64=df, interpret=(tail == "interpret"))
+        nnz_row = jnp.sum((oK < _I32_MAX).astype(jnp.int32), axis=1)
+        if df:
+            oV = jnp.stack([bits(oh, jnp.float32),
+                            bits(ol, jnp.float32)])
+        else:
+            oV = bits(oh, jnp.float32)
+        return oK, oV, nnz_row
     if df:
         H, L = prod
         sK, sH, sL = jax.lax.sort((K, H, L), num_keys=1, dimension=1)
@@ -819,13 +844,15 @@ def _front_gather(ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col,
 
 def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
                a_val, b_col, b_val, *, W: int, rb: int,
-               hold_passes: int, seg_passes: int, df: bool = False):
+               hold_passes: int, seg_passes: int, df: bool = False,
+               tail: str = "off"):
     """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
     K, bv, valid, AV = _front_gather(
         ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col, b_val,
         W=W, rb=rb, hold_passes=hold_passes, df=df)
     prod = _product(AV, bv, valid, df)
-    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df)
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
+                       W=W, tail=tail)
 
 
 def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
@@ -881,14 +908,15 @@ def _chunk_fill(rows_g, ent_dst, ent_len, ent_aidx, row_len, win_row,
                 runs, a_val, pairs2d, *, W: int, rb: int,
                 hold_passes: int, seg_passes: int, stride: int,
                 wrows: int, out_rows: int, vdtype, interpret: bool,
-                df: bool = False):
+                df: bool = False, tail: str = "off"):
     """One [rb, W] chunk with the Mosaic ragged-fill expansion."""
     K, bv, valid, AV = _front_fill(
         ent_dst, ent_aidx, row_len, win_row, runs, a_val, pairs2d,
         W=W, rb=rb, hold_passes=hold_passes, stride=stride, wrows=wrows,
         out_rows=out_rows, vdtype=vdtype, interpret=interpret, df=df)
     prod = _product(AV, bv, valid, df)
-    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df)
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
+                       W=W, tail=tail)
 
 
 def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
@@ -1000,11 +1028,11 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("specs", "m", "vdtype", "interpret",
-                                    "df"))
+                                    "df", "tail"))
 def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                   specs: Tuple[Tuple[int, ...], ...], m: int,
                   vdtype=None, interpret: bool = False,
-                  df: bool = False):
+                  df: bool = False, tail: str = "off"):
     """Whole-matrix main program: every class, every chunk, one dispatch.
 
     Returns (crow_nnz int32[m], cptr int32[m+1], class_totals int64[K],
@@ -1027,11 +1055,12 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                 hold_passes=hp, seg_passes=sp, stride=stride,
                 wrows=wrows, out_rows=out_rows,
                 vdtype=vdtype or b_val.dtype, interpret=interpret,
-                df=df)
+                df=df, tail=tail)
         else:
             body = functools.partial(
                 _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
-                W=W, rb=rb, hold_passes=hp, seg_passes=sp, df=df)
+                W=W, rb=rb, hold_passes=hp, seg_passes=sp, df=df,
+                tail=tail)
         rows_g = arrs[0]
         if nchunks == 1:
             oC, oV, nnz_row = body(*(x[0] for x in arrs))
@@ -1111,7 +1140,7 @@ def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
 
 def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
                  vdtype=None, interpret: bool = False,
-                 df: bool = False):
+                 df: bool = False, tail: str = "off"):
     """Dispatch the main program.  Returns (crow, cptr, totals, slabs)."""
     upload_plan(plan)
     specs = tuple(c.spec for c in plan.classes)
@@ -1119,7 +1148,7 @@ def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
         pairs2d = jnp.zeros((1, 128), jnp.int32)
     return bucketed_main(plan.dev, a_val, b_col, b_val, pairs2d,
                          specs=specs, m=plan.m_cap, vdtype=vdtype,
-                         interpret=interpret, df=df)
+                         interpret=interpret, df=df, tail=tail)
 
 
 def needs_pairs(plan: BucketPlan) -> bool:
@@ -1314,12 +1343,13 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
 
 @functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
                                              "interpret", "nnz_cap",
-                                             "ext_spec", "df"))
+                                             "ext_spec", "df", "tail"))
 def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
                    slab_row_start, ext_win, ext_runs, *,
                    specs: Tuple[Tuple[int, ...], ...], m: int,
                    vdtype=None, interpret: bool = False,
-                   nnz_cap: int = 1, ext_spec=None, df: bool = False):
+                   nnz_cap: int = 1, ext_spec=None, df: bool = False,
+                   tail: str = "off"):
     """Warm-path program: main stage + extraction traced as ONE dispatch.
 
     Once the first run's totals fetch has fixed ``nnz_cap`` (and the
@@ -1332,7 +1362,8 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
     ``/root/reference/src/main.cu:102-137``)."""
     crow, cptr, totals, slabs = bucketed_main(
         class_arrays, a_val, b_col, b_val, pairs2d,
-        specs=specs, m=m, vdtype=vdtype, interpret=interpret, df=df)
+        specs=specs, m=m, vdtype=vdtype, interpret=interpret, df=df,
+        tail=tail)
     if ext_spec is not None:
         ccol, cval = bucketed_extract_mosaic(
             slabs, ext_win, ext_runs, slab_row_start, cptr,
@@ -1346,7 +1377,8 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
 
 def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
                        pairs2d=None, vdtype=None,
-                       interpret: bool = False, df: bool = False):
+                       interpret: bool = False, df: bool = False,
+                       tail: str = "off"):
     """Dispatch the fused warm-path program (requires a warm plan:
     ``plan.nnz_cap`` already learned).  Returns (cptr, ccol, cval)."""
     assert plan.nnz_cap is not None, "fused path needs a warm plan"
@@ -1368,7 +1400,7 @@ def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
         plan.dev, a_val, b_col, b_val, pairs2d, plan.dev_slab_start,
         ext_win, ext_runs, specs=specs, m=plan.m_cap, vdtype=vdtype,
         interpret=interpret, nnz_cap=plan.nnz_cap, ext_spec=ext_spec,
-        df=df)
+        df=df, tail=tail)
     if vdtype is not None and jnp.dtype(vdtype) != cval.dtype:
         cval = cval.astype(vdtype)
     return cptr, ccol, cval

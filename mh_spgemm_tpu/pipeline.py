@@ -325,13 +325,15 @@ def spgemm_bucketed(A: CSR, B: CSR,
     # two dispatches + one fence (VERDICT round-2 item 2: on a ~31 ms
     # transport the extra round trip was the whole margin on the small
     # suite members).
+    tail = config.esc_tail if config.esc_tail in ("on", "interpret") \
+        else "off"        # "auto" -> measured-cost default (XLA tail)
     if plan.class_caps is not None and not config.profile:
         with PhaseTimer.phase(timing, "calculate_c_nnz"):
             cptr, ccol, cval = bucketed_ops.run_bucketed_fused(
                 plan, state.a_val, state.b_col, state.b_val,
                 state.b_pairs, vdtype=config.vdtype,
                 interpret=(config.dma_fill == "interpret"),
-                df=state.df)
+                df=state.df, tail=tail)
         with PhaseTimer.phase(timing, "numeric"):
             _fence(cval)
         C = DeviceCSR(M=A.M, N=B.N, ptr=cptr, col=ccol, val=cval,
@@ -342,7 +344,8 @@ def spgemm_bucketed(A: CSR, B: CSR,
         main_out = bucketed_ops.run_bucketed(
             plan, state.a_val, state.b_col, state.b_val, state.b_pairs,
             vdtype=config.vdtype,
-            interpret=(config.dma_fill == "interpret"), df=state.df)
+            interpret=(config.dma_fill == "interpret"), df=state.df,
+            tail=tail)
         if config.profile:
             _fence(main_out[1])        # split main vs extraction exactly
 

@@ -146,3 +146,54 @@ def test_supported_widths():
     assert supported_w2(8) and supported_w2(65536)
     assert not supported_w2(4) and not supported_w2(3 << 10)
     assert not supported_w2(1 << 17)
+
+
+# ---------------------------------------------------------------------------
+# Engine-level wiring (config.esc_tail): the bucketed engine with the
+# Mosaic tail must match the oracle on pow2 AND non-pow2 width classes
+# (non-pow2 classes fall back to the XLA tail inside the same program)
+# ---------------------------------------------------------------------------
+
+def _engine_run(A, dtype, warm=2):
+    from mh_spgemm_tpu import SpGEMMConfig, oracle_spgemm
+    from mh_spgemm_tpu.pipeline import spgemm_bucketed
+    cfg = SpGEMMConfig(mode="bucketed", value_dtype=dtype,
+                       dma_fill="interpret", esc_tail="interpret")
+    ref = oracle_spgemm(A, A)
+    tol = 1e-9 if dtype == "float64" else 1e-4
+    state = None
+    for _ in range(warm):          # cold path, then fused warm path
+        C, state = spgemm_bucketed(A, A, config=cfg, state=state)
+        assert C.host().equals(ref, tol=tol)
+
+
+def test_engine_mosaic_tail_f64_df():
+    from mh_spgemm_tpu.bench import gen
+    _engine_run(gen.powerlaw(300, avg_nnz=5, seed=42), "float64")
+
+
+def test_engine_mosaic_tail_f32():
+    from mh_spgemm_tpu.bench import gen
+    _engine_run(gen.banded(200, band=12, nnz_per_row=6, seed=1),
+                "float32")
+
+
+def test_engine_mosaic_tail_engages(monkeypatch):
+    """The kernel actually runs for a pow2-width class (not silently
+    falling back to the XLA tail)."""
+    import mh_spgemm_tpu.ops.esc_tail as et
+    from mh_spgemm_tpu import SpGEMMConfig, spgemm_host
+    from mh_spgemm_tpu.bench import gen
+    calls = {"n": 0}
+    real = et.esc_tail
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(et, "esc_tail", counting)
+    A = gen.random_uniform(64, nnz_per_row=8, seed=3)   # W=8/16 classes
+    cfg = SpGEMMConfig(mode="bucketed", dma_fill="interpret",
+                       esc_tail="interpret")
+    spgemm_host(A, None, config=cfg)
+    assert calls["n"] > 0
