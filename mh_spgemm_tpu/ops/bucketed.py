@@ -110,7 +110,11 @@ class ClassPlan:
     fill: bool = False
     stride: int = 0                       # i32 words per B nonzero
     wrows: int = 0                        # source window rows per step
-    out_rows: int = 0                     # slab3 rows (without pad)
+    out_rows: int = 0                     # slab3 rows (interleaved: total
+    #                                       without pad; planar: PER PLANE)
+    planar: bool = False                  # planar transport: one plane per
+    #                                       word, run geometry in elements
+    #                                       (kills the stride-deinterleave)
     win_row: Optional[np.ndarray] = None  # int32[nchunks, S, 2]
     runs: Optional[np.ndarray] = None     # int32[nchunks, S, EPG, 3]
     row_len: Optional[np.ndarray] = None  # int32[nchunks, rb] products/row
@@ -119,7 +123,8 @@ class ClassPlan:
     def spec(self) -> Tuple[int, ...]:
         return (self.W, self.rb, self.nchunks, self.eb,
                 self.hold_passes, self.seg_passes,
-                self.fill, self.stride, self.wrows, self.out_rows)
+                self.fill, self.stride, self.wrows, self.out_rows,
+                self.planar)
 
 
 @dataclasses.dataclass
@@ -275,15 +280,24 @@ def _fill_wrows(W: int, stride: int) -> int:
 
 
 def _attach_fill_plan(c: "ClassPlan", stride: int,
-                      force: bool = False) -> None:
+                      force: bool = False,
+                      planar: bool = False) -> None:
     """Build per-chunk run plans for a class and accept the Mosaic fill
-    path if the measured-cost model says it beats the XLA gathers."""
-    wrows = _fill_wrows(c.W, stride)
+    path if the measured-cost model says it beats the XLA gathers.
+
+    ``planar``: the transport stream and slab are one PLANE per word
+    ([cols..][hi..][lo..] instead of interleaved [col,hi,lo] triples) —
+    run geometry is in elements and one descriptor drives every plane
+    via the kernel's fixed source/destination strides.  This removes
+    the strided deinterleave + bitcast after the fill (measured
+    ~2.9 ns/slot of the ~7.4 ns/slot fill-class total, cant df)."""
+    gstride = 1 if planar else stride
+    wrows = _fill_wrows(c.W, gstride)
     epg = _FILL_EPG
     wins, runss, s_total, r_total = [], [], 0, 0
     for k in range(c.nchunks):
         w, r = _plan_runs_chunk(c.ent_src[k], c.ent_dst[k], c.ent_len[k],
-                                stride, c.rb * c.W, wrows, epg)
+                                gstride, c.rb * c.W, wrows, epg)
         wins.append(w)
         runss.append(r)
         s_total += w.shape[0]
@@ -314,8 +328,10 @@ def _attach_fill_plan(c: "ClassPlan", stride: int,
             np.int32))
     c.fill = True
     c.stride = stride
+    c.planar = planar
     c.wrows = wrows
-    c.out_rows = -(-(c.rb * c.W * stride) // 128)
+    c.out_rows = (-(-(c.rb * c.W) // 128) if planar
+                  else -(-(c.rb * c.W * stride) // 128))
     c.win_row = win_row
     c.runs = runs
     c.row_len = row_len
@@ -326,7 +342,9 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  vwords: int = 2, dma_fill: str = "off",
                  b_starts: Optional[np.ndarray] = None,
                  b_lens: Optional[np.ndarray] = None,
-                 forced: Optional[dict] = None
+                 forced: Optional[dict] = None,
+                 planar: bool = False,
+                 pow2_fill_widths: bool = False
                  ) -> BucketPlan:
     """Bin rows by product count into power-of-two width classes and build
     per-chunk A-entry descriptors (vectorized numpy; cached per (A, B)).
@@ -380,6 +398,18 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     from ..utils import native as native_lib
 
     stride = 1 + vwords
+    if pow2_fill_widths and active.size:
+        # rows headed for fill classes (long average B spans): round the
+        # width class up to a power of two so the fused Mosaic ESC tail
+        # (pow2 bitonic segments, ops/esc_tail.py) engages — the tail
+        # saving beats the <=1.33x extra slot padding on the ~2 ns/slot
+        # fill path, but not on the ~26 ns/slot gather path, so short-
+        # span rows keep the 1.5x grid
+        avg_words = p * stride / np.maximum(1, row_vcnt[active])
+        bump = avg_words >= _FILL_MIN_SPAN_WORDS
+        wclass = np.where(
+            bump, 2 ** np.ceil(np.log2(np.maximum(1, wclass))).astype(
+                np.int64), wclass)
     fill_force = dma_fill in ("on", "interpret")
     fill_ok = (dma_fill in ("auto", "on", "interpret")
                and vwords in (1, 2)
@@ -448,7 +478,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                 hold_passes=_log2_bound(W), seg_passes=_log2_bound(W)))
             if cand:
                 _attach_fill_plan(classes[-1], stride,
-                                   force=fill_force or fill_forced)
+                                  force=fill_force or fill_forced,
+                                  planar=planar)
             continue
         cnt = a_row_nnz[rows_c].astype(np.int64)
         local_row = np.repeat(np.arange(rows_c.size, dtype=np.int64), cnt)
@@ -500,7 +531,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         ))
         if cand:
             _attach_fill_plan(classes[-1], stride,
-                                   force=fill_force or fill_forced)
+                              force=fill_force or fill_forced,
+                              planar=planar)
 
     # flat offset of each row's slab in the concatenated class slabs
     # (extraction reads output j of row r at slab_row_start[r] + rank)
@@ -612,6 +644,41 @@ def pairs_rows(nnz: int, vwords: int, wrows_max: int) -> int:
     stride = 1 + vwords
     return (-(-(_FILL_BIAS_WORDS + nnz * stride) // 128)
             + wrows_max + rf.PAD_ROWS)
+
+
+def pairs_plane_pitch(nnz: int, wrows_max: int) -> int:
+    """Row pitch of ONE plane of the planar pairs stream: bias + data +
+    window slack, so any window read from the last run of a plane stays
+    inside that plane's rows (the next plane's data is never scanned)."""
+    return -(-(_FILL_BIAS_WORDS + nnz) // 128) + wrows_max + rf.PAD_ROWS
+
+
+def build_pairs_planar(b_col: np.ndarray, b_val: np.ndarray, vwords: int,
+                       wrows_max: int, df: bool = False) -> np.ndarray:
+    """Planar transport stream for the ragged fill: one [pitch, 128]
+    PLANE per word ([cols..][hi..][lo..]) stacked vertically, each with
+    the same bias prepad — one run descriptor (element units) drives
+    every plane via the kernel's plane strides (nplanes / src_stride_
+    rows / dst_stride), so the slab arrives deinterleaved and the XLA
+    stride-slicing after the fill disappears (see _attach_fill_plan)."""
+    nnz = b_col.shape[0]
+    if df:
+        assert vwords == 2 and b_val.dtype == np.float64
+        hi, lo = dekker_split_np(b_val)
+        planes = [b_col.astype(np.int32), hi.view(np.int32),
+                  lo.view(np.int32)]
+    else:
+        vw = b_val.view(np.int32).reshape(nnz, vwords) if nnz else \
+            np.zeros((0, vwords), np.int32)
+        planes = [b_col.astype(np.int32)] + \
+            [vw[:, i].copy() for i in range(vwords)]
+    pitch = pairs_plane_pitch(nnz, wrows_max)
+    out = np.zeros((len(planes) * pitch, 128), np.int32)
+    flat = out.reshape(-1)
+    for pidx, pl_ in enumerate(planes):
+        base = pidx * pitch * 128 + _FILL_BIAS_WORDS
+        flat[base: base + nnz] = pl_
+    return out
 
 
 def pairs_device(b_col: jax.Array, b_val, vwords: int,
@@ -776,7 +843,8 @@ def _chunk_tail(K, prod, *, rb: int, seg_passes: int, df: bool = False,
         oK, oh, ol = esc_tail_mod.esc_tail(
             K, bits(H, jnp.int32), bits(L if df else H, jnp.int32),
             row_len, w2=W, f64=df, interpret=(tail == "interpret"))
-        nnz_row = jnp.sum((oK < _I32_MAX).astype(jnp.int32), axis=1)
+        nnz_row = jnp.sum((oK < _I32_MAX).astype(jnp.int32), axis=1,
+                          dtype=jnp.int32)
         if df:
             oV = jnp.stack([bits(oh, jnp.float32),
                             bits(ol, jnp.float32)])
@@ -858,31 +926,62 @@ def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
 def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
                 pairs2d, *, W: int, rb: int, hold_passes: int,
                 stride: int, wrows: int, out_rows: int, vdtype,
-                interpret: bool, df: bool = False):
+                interpret: bool, df: bool = False,
+                planar: bool = False):
     """Shared Mosaic-fill expansion frontend: the B columns and value
-    words stream in as contiguous interleaved runs at DMA bandwidth
+    words stream in as contiguous runs at DMA bandwidth
     (ops/ragged_fill.py) instead of per-element gathers.  Validity is
     one comparison against the plan-time per-row product count; only
     the A-value broadcast needs a (single-value) hold-scan.
     Returns (K masked, bv, valid, AV).  Under ``df`` the two value
     words per slot are the Dekker (hi, lo) f32 pair straight off the
-    stream (build_pairs df=True) — no i32x2 -> f64 emulated bitcast."""
-    slab3 = rf.ragged_fill(win_row, runs, pairs2d,
-                           out_rows=out_rows, wrows=wrows,
-                           interpret=interpret)
-    flat3 = slab3.reshape(-1)[: rb * W * stride].reshape(rb * W, stride)
-    K0 = flat3[:, 0].reshape(rb, W)
-    if df:
-        bv = (jax.lax.bitcast_convert_type(
-                  flat3[:, 1], jnp.float32).reshape(rb, W),
-              jax.lax.bitcast_convert_type(
-                  flat3[:, 2], jnp.float32).reshape(rb, W))
-    elif stride == 3:
-        bv = jax.lax.bitcast_convert_type(
-            flat3[:, 1:3], jnp.float64).reshape(rb, W).astype(vdtype)
+    stream (build_pairs df=True) — no i32x2 -> f64 emulated bitcast.
+    ``planar``: the stream/slab are one plane per word and ``out_rows``
+    is PER PLANE — the planes come back deinterleaved (contiguous
+    static slices instead of the measured-expensive stride slicing)."""
+    if planar:
+        slabp = rf.ragged_fill(win_row, runs, pairs2d,
+                               out_rows=stride * out_rows, wrows=wrows,
+                               nplanes=stride,
+                               src_stride_rows=pairs2d.shape[0] // stride,
+                               dst_stride=out_rows * 128,
+                               interpret=interpret)
+        flat = slabp.reshape(-1)
+
+        def plane(p):
+            return jax.lax.slice_in_dim(
+                flat, p * out_rows * 128, p * out_rows * 128 + rb * W
+            ).reshape(rb, W)
+
+        K0 = plane(0)
+        if df:
+            bv = (jax.lax.bitcast_convert_type(plane(1), jnp.float32),
+                  jax.lax.bitcast_convert_type(plane(2), jnp.float32))
+        elif stride == 3:
+            bv = jax.lax.bitcast_convert_type(
+                jnp.stack([plane(1), plane(2)], axis=-1),
+                jnp.float64).astype(vdtype)
+        else:
+            bv = jax.lax.bitcast_convert_type(
+                plane(1), jnp.float32).astype(vdtype)
     else:
-        bv = jax.lax.bitcast_convert_type(
-            flat3[:, 1], jnp.float32).reshape(rb, W).astype(vdtype)
+        slab3 = rf.ragged_fill(win_row, runs, pairs2d,
+                               out_rows=out_rows, wrows=wrows,
+                               interpret=interpret)
+        flat3 = slab3.reshape(-1)[: rb * W * stride].reshape(
+            rb * W, stride)
+        K0 = flat3[:, 0].reshape(rb, W)
+        if df:
+            bv = (jax.lax.bitcast_convert_type(
+                      flat3[:, 1], jnp.float32).reshape(rb, W),
+                  jax.lax.bitcast_convert_type(
+                      flat3[:, 2], jnp.float32).reshape(rb, W))
+        elif stride == 3:
+            bv = jax.lax.bitcast_convert_type(
+                flat3[:, 1:3], jnp.float64).reshape(rb, W).astype(vdtype)
+        else:
+            bv = jax.lax.bitcast_convert_type(
+                flat3[:, 1], jnp.float32).reshape(rb, W).astype(vdtype)
 
     RW = rb * W
     if df:
@@ -908,12 +1007,14 @@ def _chunk_fill(rows_g, ent_dst, ent_len, ent_aidx, row_len, win_row,
                 runs, a_val, pairs2d, *, W: int, rb: int,
                 hold_passes: int, seg_passes: int, stride: int,
                 wrows: int, out_rows: int, vdtype, interpret: bool,
-                df: bool = False, tail: str = "off"):
+                df: bool = False, tail: str = "off",
+                planar: bool = False):
     """One [rb, W] chunk with the Mosaic ragged-fill expansion."""
     K, bv, valid, AV = _front_fill(
         ent_dst, ent_aidx, row_len, win_row, runs, a_val, pairs2d,
         W=W, rb=rb, hold_passes=hold_passes, stride=stride, wrows=wrows,
-        out_rows=out_rows, vdtype=vdtype, interpret=interpret, df=df)
+        out_rows=out_rows, vdtype=vdtype, interpret=interpret, df=df,
+        planar=planar)
     prod = _product(AV, bv, valid, df)
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
                        W=W, tail=tail)
@@ -1048,14 +1149,14 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
     slabs = []
     totals = []
     for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-         out_rows), arrs in zip(specs, class_arrays):
+         out_rows, planar), arrs in zip(specs, class_arrays):
         if fill:
             body = functools.partial(
                 _chunk_fill, a_val=a_val, pairs2d=pairs2d, W=W, rb=rb,
                 hold_passes=hp, seg_passes=sp, stride=stride,
                 wrows=wrows, out_rows=out_rows,
                 vdtype=vdtype or b_val.dtype, interpret=interpret,
-                df=df, tail=tail)
+                df=df, tail=tail, planar=planar)
         else:
             body = functools.partial(
                 _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,

@@ -67,12 +67,12 @@ def _shift_to(x, s: int, w2: int, fill):
     where ``f mod w2 < s`` (the shift never crosses a segment)."""
     shape = x.shape
     if s < 128:
-        a = pltpu.roll(x, s, axis=1)               # lane l-s (mod 128)
-        b = pltpu.roll(a, 1, axis=0)               # row r-1 of that
+        a = pltpu.roll(x, np.int32(s), axis=1)               # lane l-s (mod 128)
+        b = pltpu.roll(a, np.int32(1), axis=0)               # row r-1 of that
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         sh = jnp.where(lane < np.int32(s), b, a)
     else:
-        sh = pltpu.roll(x, s >> 7, axis=0)
+        sh = pltpu.roll(x, np.int32(s >> 7), axis=0)
     return jnp.where(_fmod(shape, w2) >= np.int32(s), sh, fill)
 
 
@@ -80,8 +80,8 @@ def _shift_back1(x, w2: int, fill):
     """Value at flat index ``f + 1``; ``fill`` where ``f`` is the last
     slot of its segment."""
     shape = x.shape
-    a = pltpu.roll(x, 127, axis=1)                 # lane l+1 (mod 128)
-    b = pltpu.roll(a, shape[0] - 1, axis=0)        # row r+1 of that
+    a = pltpu.roll(x, np.int32(127), axis=1)                 # lane l+1 (mod 128)
+    b = pltpu.roll(a, np.int32(shape[0] - 1), axis=0)        # row r+1 of that
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     sh = jnp.where(lane == np.int32(127), b, a)
     return jnp.where(_fmod(shape, w2) == np.int32(w2 - 1), fill, sh)
@@ -91,24 +91,35 @@ def _partner(x, d: int):
     """Value at flat index ``f ^ d`` (d a power of two < segment width;
     XOR stays inside the aligned segment, so no masking is needed)."""
     if d < 128:
-        up = pltpu.roll(x, 128 - d, axis=1)        # lane l+d
-        dn = pltpu.roll(x, d, axis=1)              # lane l-d
+        up = pltpu.roll(x, np.int32(128 - d), axis=1)        # lane l+d
+        dn = pltpu.roll(x, np.int32(d), axis=1)              # lane l-d
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         return jnp.where((lane & np.int32(d)) == 0, up, dn)
     rd = d >> 7
-    up = pltpu.roll(x, x.shape[0] - rd, axis=0)
-    dn = pltpu.roll(x, rd, axis=0)
+    up = pltpu.roll(x, np.int32(x.shape[0] - rd), axis=0)
+    dn = pltpu.roll(x, np.int32(rd), axis=0)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where((row & np.int32(rd)) == 0, up, dn)
 
 
-def _flat_bit0(shape, d: int):
-    """Bool: bit ``d`` (a power of two) of the flat index is zero."""
+def _flat_bit(shape, d: int):
+    """i32 0/1: bit ``d`` (a power of two) of the flat index.  Kept as
+    int32 — combining BOOL vectors with logical_xor/not lowers to an
+    i8->i1 truncation Mosaic rejects ("Unsupported target bitwidth for
+    truncation"); integer xor + one final comparison lowers clean."""
     if d < 128:
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        return (lane & np.int32(d)) == 0
+        return jax.lax.shift_right_logical(
+            lane & np.int32(d), np.int32(d.bit_length() - 1))
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    return (row & np.int32(d >> 7)) == 0
+    rd = d >> 7
+    return jax.lax.shift_right_logical(
+        row & np.int32(rd), np.int32(rd.bit_length() - 1))
+
+
+def _flat_bit0(shape, d: int):
+    """Bool: bit ``d`` (a power of two) of the flat index is zero."""
+    return _flat_bit(shape, d) == 0
 
 
 def _bitonic(key, payload, w2: int):
@@ -118,14 +129,20 @@ def _bitonic(key, payload, w2: int):
     shape = key.shape
     k = 2
     while k <= w2:
-        asc = _flat_bit0(shape, k) if k < w2 else None  # k == w2: all asc
+        ascb = _flat_bit(shape, k) if k < w2 else None  # k == w2: all asc
         j = k >> 1
         while j >= 1:
             pk = _partner(key, j)
-            mine_first = _flat_bit0(shape, j)
-            want_min = mine_first if asc is None else \
-                jnp.logical_not(jnp.logical_xor(mine_first, asc))
-            take = jnp.where(want_min, pk < key, pk > key)
+            # want the segment minimum on this side iff bit_j == bit_k
+            # (int32 xor + one comparison: bool xor/not does not lower,
+            # see _flat_bit; likewise a select BETWEEN two bool vectors
+            # hits the same i8->i1 truncation, so select i32 0/1 flags
+            # and compare once)
+            want_min = _flat_bit0(shape, j) if ascb is None else \
+                (_flat_bit(shape, j) ^ ascb) == 0
+            lt = (pk < key).astype(jnp.int32)
+            gt = (pk > key).astype(jnp.int32)
+            take = jnp.where(want_min, lt, gt) != 0
             key = jnp.where(take, pk, key)
             payload = tuple(
                 jnp.where(take, _partner(p, j), p) for p in payload)
@@ -239,7 +256,7 @@ def esc_tail(keys, vhi, vlo, row_len, *, w2: int, f64: bool,
     rl = jnp.broadcast_to(row_len.astype(jnp.int32)[:, None],
                           (rows, w2))
     kernel = functools.partial(_tail_kernel, w2, f64)
-    spec = pl.BlockSpec((br, 128), lambda t: (t, 0))
+    spec = pl.BlockSpec((br, 128), lambda t: (t, np.int32(0)))
     nouts = 3 if f64 else 2
     outs = pl.pallas_call(
         kernel,

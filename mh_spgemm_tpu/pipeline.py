@@ -278,18 +278,34 @@ def spgemm_bucketed(A: CSR, B: CSR,
         str(_jnp.dtype(config.vdtype)), 0)
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
+            # double-f32 value pipeline: f64 without emulated-f64 device
+            # ops, whenever the plan-time range guard certifies the 1e-9
+            # comparator bound (config.df32; esc_tail.df_range_ok).
+            # Decided BEFORE planning: it fixes the transport layout
+            # (planar f32 planes) and the width grid (pow2 when the
+            # fused Mosaic tail will run).
+            use_df = False
+            if vwords == 2 and config.df32 != "off":
+                if config.df32 == "on":
+                    use_df = True
+                else:
+                    blens = np.diff(np.asarray(B.ptr)).astype(np.int64)
+                    cs = np.concatenate(
+                        [[0], np.cumsum(blens[np.asarray(A.col)])])
+                    aptr = np.asarray(A.ptr)
+                    p_row = cs[aptr[1:]] - cs[aptr[:-1]]
+                    pmax = int(p_row.max()) if p_row.size else 1
+                    use_df = esc_tail_ops.df_range_ok(
+                        A.val, B.val, max(1, pmax))
+            f32_vals = vwords == 1 or use_df
+            tail_on = (config.esc_tail in ("on", "interpret")
+                       and f32_vals)
             plan = bucketed_ops.plan_buckets(
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
                 area_cap=config.bucket_area_cap,
                 vwords=vwords if vwords else 2,
-                dma_fill=config.dma_fill if vwords else "off")
-            # double-f32 value pipeline: f64 without emulated-f64 device
-            # ops, whenever the plan-time range guard certifies the 1e-9
-            # comparator bound (config.df32; esc_tail.df_range_ok)
-            use_df = (vwords == 2 and config.df32 != "off"
-                      and (config.df32 == "on" or esc_tail_ops.df_range_ok(
-                          A.val, B.val,
-                          max((c.W for c in plan.classes), default=1))))
+                dma_fill=config.dma_fill if vwords else "off",
+                planar=f32_vals, pow2_fill_widths=tail_on)
             state = BucketedState(plan=plan, a_val=None, b_col=None,
                                   b_val=None, df=use_df)
         plan = state.plan
@@ -308,7 +324,10 @@ def spgemm_bucketed(A: CSR, B: CSR,
                 state.b_val = _jnp.asarray(B.val.astype(config.vdtype))
             state.b_col = _jnp.asarray(B.col)
             if bucketed_ops.needs_pairs(plan):
-                state.b_pairs = _jnp.asarray(bucketed_ops.build_pairs(
+                builder = (bucketed_ops.build_pairs_planar
+                           if any(c.planar for c in plan.classes)
+                           else bucketed_ops.build_pairs)
+                state.b_pairs = _jnp.asarray(builder(
                     B.col, B.val.astype(config.vdtype), vwords,
                     bucketed_ops.pairs_wrows_max(plan), df=state.df))
             bucketed_ops.upload_plan(plan)
@@ -369,7 +388,9 @@ class MaskedState:
     plan: bucketed_ops.BucketPlan
     extras: object
     tiles_per_row: object
+    tile_pairs: object = None           # host tile transport stream
     dev: Optional[tuple] = None         # uploaded operand arrays
+    dev_classes: Optional[list] = None  # uploaded class descriptor arrays
 
 
 def spgemm_masked(A: CSR, B: CSR,
@@ -395,11 +416,13 @@ def spgemm_masked(A: CSR, B: CSR,
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
                 area_cap=config.bucket_area_cap,
                 vwords=vwords if vwords else 2,
+                dma_fill=config.dma_fill if vwords else "off",
+                planar=(vwords == 1))
+            tpr, extras, tile_pairs = masked_ops.plan_masked_extras(
+                plan, A.ptr, A.col, B.ptr, B.col,
                 dma_fill=config.dma_fill if vwords else "off")
-            tpr, extras = masked_ops.plan_masked_extras(
-                plan, A.ptr, A.col, B.ptr, B.col)
             state = MaskedState(plan=plan, extras=extras,
-                                tiles_per_row=tpr)
+                                tiles_per_row=tpr, tile_pairs=tile_pairs)
         plan = state.plan
 
     if A.nnz == 0 or B.nnz == 0 or not plan.classes:
@@ -420,20 +443,29 @@ def spgemm_masked(A: CSR, B: CSR,
             b_val = _jnp.asarray(B.val.astype(config.vdtype))
             st = mask_ops.mask_stage(b_ptr, b_col, b_ptr, b_col)
             if bucketed_ops.needs_pairs(plan):
-                pairs = _jnp.asarray(bucketed_ops.build_pairs(
+                builder = (bucketed_ops.build_pairs_planar
+                           if any(c.planar for c in plan.classes)
+                           else bucketed_ops.build_pairs)
+                pairs = _jnp.asarray(builder(
                     B.col, B.val.astype(config.vdtype), vwords,
                     bucketed_ops.pairs_wrows_max(plan)))
             else:
                 pairs = _jnp.zeros((1, 128), _jnp.int32)
+            if state.tile_pairs is not None:
+                tpairs = _jnp.asarray(state.tile_pairs)
+            else:
+                tpairs = _jnp.zeros((1, 128), _jnp.int32)
             state.dev = (a_val, a_col, b_col, b_val, pairs,
                          st.mask.tileptr, _jnp.asarray(state.tiles_per_row),
-                         st.mask.tilecol, st.mask.tilemask)
-            bucketed_ops.upload_plan(plan)
+                         st.mask.tilecol, st.mask.tilemask, tpairs)
+            state.dev_classes = masked_ops.masked_upload(
+                plan, state.extras)
         (a_val, a_col, b_col, b_val, pairs, btileptr, tpr_d, tilecol,
-         tilemask) = state.dev
+         tilemask, tpairs) = state.dev
 
     specs = tuple(
-        c.spec + (e["Wt"], e["t_hold"])
+        c.spec + (e["Wt"], e["t_hold"], e["t_fill"], e["t_wrows"],
+                  e["t_out_rows"])
         for c, e in zip(plan.classes, state.extras))
 
     # warm plan + no profiling: ONE fused dispatch (see spgemm_bucketed)
@@ -451,8 +483,9 @@ def spgemm_masked(A: CSR, B: CSR,
                 ext_win = ext_runs = _jnp.zeros((1,), _jnp.int32)
                 ext_spec = None
             cptr, ccol, cval = masked_ops.masked_fused(
-                plan.dev, a_val, b_col, b_val, pairs, a_col, btileptr,
-                tpr_d, tilecol, tilemask, plan.dev_slab_start,
+                state.dev_classes, a_val, b_col, b_val, pairs, a_col,
+                btileptr, tpr_d, tilecol, tilemask, tpairs,
+                plan.dev_slab_start,
                 ext_win, ext_runs, specs=specs, m=plan.m_cap,
                 vdtype=config.vdtype,
                 interpret=(config.dma_fill == "interpret"),
@@ -467,8 +500,9 @@ def spgemm_masked(A: CSR, B: CSR,
 
     with PhaseTimer.phase(timing, "calculate_c_nnz"):
         main_out = masked_ops.masked_main(
-            plan.dev, a_val, b_col, b_val, pairs, a_col, btileptr,
-            tpr_d, tilecol, tilemask, specs=specs, m=plan.m_cap,
+            state.dev_classes, a_val, b_col, b_val, pairs, a_col,
+            btileptr, tpr_d, tilecol, tilemask, tpairs,
+            specs=specs, m=plan.m_cap,
             vdtype=config.vdtype,
             interpret=(config.dma_fill == "interpret"))
         if config.profile:
