@@ -3,27 +3,27 @@
 Round-1's masked engine ran the tile-mask pipeline at FLAT granularity:
 one product-length sort plus a product-granularity scatter-add, capped by
 ``masked_max_products``.  This rebuild keeps the reference's semantic
-identity — a compressed 32-column tile bitmap of B, an exact symbolic
+identity — a compressed 32-column tile bitmap of B and an EXACT symbolic
 stage that ORs tile masks and popcounts (``inc/Calculate_C_nnz.cuh:
-410-835``), and a numeric whose destination of every product is the
-closed-form popcount rank ``base(tile) + popc(mask & (bit-1))``
-(``inc/numeric.cuh:215-258`` with the hash probe replaced by rank
-arithmetic) — but executes BOTH stages inside the bucketed engine's
+410-835``) — and executes both stages inside the bucketed engine's
 fixed-width row classes:
 
 * per chunk, a TILE slab [rb, Wt] is expanded from the mask matrix
-  (2 entry-run gathers), sorted by tile column, OR-accumulated over
-  equal-tile runs (segmented OR = the ``atomicOr`` analogue), and
-  popcounted — exact nnz per row, rank bases per distinct tile;
-* the PRODUCT slab [rb, W] reuses the bucketed expansion; each slot
-  derives its tile position locally (count of tile-column changes
-  within its entry segment — no extra per-product stream), gathers its
-  tile's (rank base, OR mask) from the tile slab, and computes its
-  exact destination rank;
-* accumulation is a batched in-row sort by destination (measured
-  ~0.2-0.3 ns/slot) + segmented sum — the TPU replacement for
-  ``atomicAdd`` — and the ranks being dense 0..nnz-1 makes the packed
-  output come out in final column order directly.
+  (Mosaic ragged fill of host-planned (tilecol, tilemask) runs, or XLA
+  gathers), sorted by tile column, OR-accumulated over equal-tile runs
+  (segmented OR = the ``atomicOr`` analogue), and popcounted — the
+  exact nnz of every C row, and C.ptr, come from this stage BEFORE any
+  numeric work, exactly the reference's two-stage contract;
+* the NUMERIC stage shares the bucketed expansion frontend and tail
+  (sort by column, compensated segment sum, left-pack; double-f32
+  value pipeline under f64).  An earlier rebuild derived every
+  product's destination by the reference's closed-form popcount rank
+  ``base(tile) + popc(mask & (bit-1))`` (``inc/numeric.cuh:215-258``
+  with the hash probe replaced by rank arithmetic); on hardware the
+  per-slot gather of (rank base, OR mask) from the tile slab cost
+  ~2x13 ns/slot — more than the whole sort tail whose left-pack
+  produces the same dense ranks (rank is monotone in column).  The
+  popcount-rank arithmetic lives on in the symbolic stage's nnz sums.
 
 No product-granularity flat arrays, no scatter-add, no size cap: the
 engine runs everything the bucketed engine runs, sharing its planner,
@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TILE_BITS
-from .bucketed import (BucketPlan, _front_fill, _front_gather,
-                       _hold_scan_rows, _log2_bound, _seg_sum_rows,
+from .bucketed import (BucketPlan, _chunk_tail, _front_fill,
+                       _front_gather, _hold_scan_rows, _log2_bound,
+                       _product,
                        _plan_runs_chunk, _fill_wrows, _I32_MAX,
                        _FILL_STEP_US, _FILL_RUN_US, _FILL_NS_PER_SLOT,
                        _FILL_EPG, _GATHER_NS_PER_SLOT, bucketed_extract,
@@ -271,81 +272,50 @@ def _tile_front_fill(t_ent_dst, t_row_len, t_win, t_runs, tile_pairs, *,
     return tc, tm, t_ent_dst
 
 
-def _chunk_masked(front, tfront, ent_dst, *, W: int, rb: int,
+def _chunk_masked(front, tfront, *, W: int, rb: int,
                   hold_passes: int, seg_passes: int, Wt: int,
-                  t_hold: int):
+                  t_hold: int, df: bool = False, tail: str = "off"):
     """One [rb, W] chunk of the masked engine (see module docstring).
     ``front()`` supplies the product slab (K, bv, valid, AV) — either
     the XLA-gather or the Mosaic ragged-fill expansion frontend;
-    ``tfront()`` supplies the tile slab (tc, tm, tdst) the same way."""
-    # ---- tile slab: expand the mask matrix per entry -------------------
-    tc, tm, tdst = tfront()
-    RT = rb * Wt
+    ``tfront()`` supplies the tile slab (tc, tm, tdst) the same way.
+    ``df``: the double-f32 value pipeline (values travel and accumulate
+    as Dekker (hi, lo) f32 pairs; oV comes back stacked [2, rb, W]) —
+    the same convention as the bucketed engine, so extraction is
+    shared.
 
-    # ---- symbolic: sort tiles, OR runs, popcount ranks -----------------
-    # (the reference's hash + atomicOr + __popc block reduction,
-    # inc/Calculate_C_nnz.cuh:410-835, as sort + segmented OR)
-    order = jnp.arange(RT, dtype=jnp.int32).reshape(rb, Wt)
-    sc, sm, spos = jax.lax.sort(
-        (tc, tm.astype(jnp.int32), order), num_keys=1, dimension=1)
+    SYMBOLIC is the engine's identity: exact nnz per C row from the
+    tile slab by sort + segmented OR + popcount (the reference's hash +
+    atomicOr + __popc block reduction, inc/Calculate_C_nnz.cuh:410-835)
+    — ``crow_nnz`` below, and C.ptr, come from THIS stage, before any
+    numeric work.  NUMERIC shares the bucketed tail: sort by column,
+    compensated segment sum, left-pack.  An earlier rebuild derived
+    every product's destination as the closed-form popcount rank
+    ``base(tile) + popc(mask & (bit-1))`` (inc/numeric.cuh:215-258 with
+    the hash probe replaced by rank arithmetic); measured on hardware
+    the per-slot gather of (rank base, OR mask) from the tile slab cost
+    ~2x13 ns/slot — more than the whole sort-based tail it was feeding,
+    whose final left-pack produces the identical dense ranks (rank is
+    monotone in column within a row).  The rank arithmetic survives in
+    the symbolic popcount sums; the numeric destination comes from the
+    shared tail's sort."""
+    # ---- symbolic: sort tiles, OR runs, popcount -----------------------
+    tc, tm, _ = tfront()
+    sc, sm = jax.lax.sort((tc, tm.astype(jnp.int32)), num_keys=1,
+                          dimension=1)
     new = jnp.concatenate(
         [jnp.ones((rb, 1), bool), sc[:, 1:] != sc[:, :-1]], axis=1)
     orm = _seg_or_rows(sm.astype(jnp.uint32), new, t_hold)
     ends = (jnp.concatenate([new[:, 1:], jnp.ones((rb, 1), bool)],
                             axis=1) & (sc < _I32_MAX))
     pc = jax.lax.population_count(orm).astype(jnp.int32)
-    pc_end = jnp.where(ends, pc, 0)
-    crow_nnz = jnp.sum(pc_end, axis=1, dtype=jnp.int32)
-    # rank base of each run = exclusive cumsum of end-popcounts per row
-    base_end = jnp.cumsum(pc_end, axis=1) - pc_end
-    # broadcast each run's END attributes (base, full OR mask) BACK over
-    # the run, then unsort to tile-slab order: a backward hold — reverse,
-    # forward-hold on run boundaries, reverse again
-    run_base = _hold_back(base_end, ends, t_hold)
-    run_mask = _hold_back(orm.astype(jnp.int32), ends, t_hold)
-    # unsort via one more batched sort by original position
-    _, u_base, u_mask = jax.lax.sort(
-        (spos, run_base, run_mask), num_keys=1, dimension=1)
-    flat_base = u_base.reshape(-1)
-    flat_mask = u_mask.reshape(-1).astype(jnp.uint32)
+    crow_nnz = jnp.sum(jnp.where(ends, pc, 0), axis=1, dtype=jnp.int32)
 
-    # ---- numeric: shared expansion frontend + closed-form rank dst -----
+    # ---- numeric: shared expansion frontend + shared tail --------------
     K, bv, valid, AV = front()
-    prod = jnp.where(valid, AV * bv, jnp.zeros((), bv.dtype))
-
-    # per-slot tile position: entry's tile-slab base (hold-scanned) plus
-    # the count of tile-column changes inside the entry segment
-    p_starts = jnp.zeros((rb * W,), bool).at[ent_dst].set(
-        True, mode="drop").reshape(rb, W)
-    (tbase0,) = _hold_scan_rows(
-        (jnp.zeros((rb * W,), jnp.int32).at[ent_dst].set(
-            tdst, mode="drop").reshape(rb, W),),
-        p_starts, hold_passes)
-    ktile = K >> TILE_BITS
-    prev = jnp.concatenate([jnp.full((rb, 1), -1, jnp.int32),
-                            ktile[:, :-1]], axis=1)
-    tstart = (p_starts | (ktile != prev)) & valid
-    tidx = _seg_sum_rows(tstart.astype(jnp.int32), p_starts,
-                         hold_passes) - 1
-    tslab = jnp.clip(tbase0 + tidx, 0, rb * Wt - 1).reshape(-1)
-    dbase = flat_base[tslab].reshape(rb, W)              # rank base
-    dmask = flat_mask[tslab].reshape(rb, W)              # OR'd tile mask
-    bit = (K & jnp.int32(_TILE_LOW)).astype(jnp.uint32)
-    below = (jnp.uint32(1) << bit) - jnp.uint32(1)
-    rank = jax.lax.population_count(dmask & below).astype(jnp.int32)
-    dst = jnp.where(valid, dbase + rank, _I32_MAX)
-
-    # ---- accumulate: sort by dense destination rank + segment sum ------
-    sd, sK2, sV = jax.lax.sort((dst, K, prod), num_keys=1, dimension=1)
-    newd = jnp.concatenate(
-        [jnp.ones((rb, 1), bool), sd[:, 1:] != sd[:, :-1]], axis=1)
-    vsum = _seg_sum_rows(sV, newd, seg_passes)
-    dends = (jnp.concatenate([newd[:, 1:], jnp.ones((rb, 1), bool)],
-                             axis=1) & (sd < _I32_MAX))
-    # ranks are dense 0..crow-1: the end slots, re-sorted by rank, are
-    # already the final packed row (columns ascending)
-    key2 = jnp.where(dends, sd, _I32_MAX)
-    _, oC, oV = jax.lax.sort((key2, sK2, vsum), num_keys=1, dimension=1)
+    prod = _product(AV, bv, valid, df)
+    oC, oV, _ = _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes,
+                            df=df, W=W, tail=tail)
     return oC, oV, crow_nnz
 
 
@@ -366,22 +336,13 @@ def _seg_or_rows(values: jax.Array, new: jax.Array, passes: int
     return v
 
 
-def _hold_back(values: jax.Array, ends: jax.Array, passes: int
-               ) -> jax.Array:
-    """Broadcast the value at each segment END backward over its
-    segment (reverse + forward hold + reverse)."""
-    rv = values[:, ::-1]
-    rs = ends[:, ::-1]
-    (out,) = _hold_scan_rows((rv,), rs, passes)
-    return out[:, ::-1]
-
-
 @functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
-                                             "interpret"))
+                                             "interpret", "df"))
 def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
                 btileptr, tiles_per_row, tilecol, tilemask, tile_pairs,
                 *, specs: Tuple[Tuple[int, ...], ...], m: int,
-                vdtype=None, interpret: bool = False):
+                vdtype=None, interpret: bool = False,
+                df: bool = False):
     """Whole-matrix masked main program (mirrors bucketed_main; same
     output contract, so finish_bucketed / the extraction programs are
     shared).  Classes whose plan carries a Mosaic fill use the
@@ -411,12 +372,13 @@ def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
                     runs, a_val, pairs2d, W=_W, rb=_rb, hold_passes=_hp,
                     stride=_stride, wrows=_wrows, out_rows=_out_rows,
                     vdtype=vdtype or b_val.dtype, interpret=interpret,
-                    planar=_planar)
+                    planar=_planar, df=df)
             else:
                 rows_g, ent_dst, ent_src, ent_len, ent_aidx = bx
                 front = functools.partial(
                     _front_gather, ent_dst, ent_src, ent_len, ent_aidx,
-                    a_val, b_col, b_val, W=_W, rb=_rb, hold_passes=_hp)
+                    a_val, b_col, b_val, W=_W, rb=_rb, hold_passes=_hp,
+                    df=df)
             if _tfill:
                 t_ent_dst, t_row_len, t_win, t_runs = tx
                 tfront = functools.partial(
@@ -429,9 +391,9 @@ def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
                     _tile_front_gather, ent_dst, ent_len, ent_aidx,
                     a_col, btileptr, tiles_per_row, tilecol, tilemask,
                     W=_W, rb=_rb, Wt=_Wt, t_hold=_th)
-            return _chunk_masked(front, tfront, ent_dst, W=_W, rb=_rb,
+            return _chunk_masked(front, tfront, W=_W, rb=_rb,
                                  hold_passes=_hp, seg_passes=_sp,
-                                 Wt=_Wt, t_hold=_th)
+                                 Wt=_Wt, t_hold=_th, df=df)
 
         allarrs = tuple(base) + tuple(tarrs)
         if nchunks == 1:
@@ -455,25 +417,26 @@ def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
 
 @functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
                                              "interpret", "nnz_cap",
-                                             "ext_spec"))
+                                             "ext_spec", "df"))
 def masked_fused(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
                  btileptr, tiles_per_row, tilecol, tilemask, tile_pairs,
                  slab_row_start, ext_win, ext_runs, *,
                  specs: Tuple[Tuple[int, ...], ...], m: int,
                  vdtype=None, interpret: bool = False,
-                 nnz_cap: int = 1, ext_spec=None):
+                 nnz_cap: int = 1, ext_spec=None, df: bool = False):
     """Warm-path masked program: main + extraction in ONE dispatch (the
     masked twin of bucketed_fused; see that docstring for why — one
     ~31 ms transport round trip per iteration on this environment)."""
     crow, cptr, totals, slabs = masked_main(
         class_arrays, a_val, b_col, b_val, pairs2d, a_col, btileptr,
         tiles_per_row, tilecol, tilemask, tile_pairs, specs=specs, m=m,
-        vdtype=vdtype, interpret=interpret)
+        vdtype=vdtype, interpret=interpret, df=df)
     if ext_spec is not None:
         ccol, cval = bucketed_extract_mosaic(
             slabs, ext_win, ext_runs, slab_row_start, cptr,
-            spec=ext_spec, m=m, nnz_cap=nnz_cap, interpret=interpret)
+            spec=ext_spec, m=m, nnz_cap=nnz_cap, interpret=interpret,
+            df=df)
     else:
         ccol, cval = bucketed_extract(slabs, slab_row_start, cptr,
-                                      m=m, nnz_cap=nnz_cap)
+                                      m=m, nnz_cap=nnz_cap, df=df)
     return cptr, ccol, cval

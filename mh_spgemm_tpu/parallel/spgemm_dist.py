@@ -846,6 +846,24 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
     plans_h = bucketed_ops.plan_buckets_sharded(
         A.ptr, A.col, D, R, b_starts=halo_starts, b_lens=halo_lens,
         a_col_shards=halo_cols, **plan_kw)
+
+    # cost model: the local/halo split doubles the per-program fixed
+    # cost and its forced-union padding; when the padded area of the
+    # two stages exceeds the single-stage ragged plan's by >25%, the
+    # overlap cannot recover the overhead (measured on scircuit, CPU
+    # mesh: D=2 split/single = 1.47x and overlap LOSES; D=4/8 = 1.2x/
+    # 1.1x and it wins) — fall back to the single-stage ragged path
+    def _area(plans):
+        return sum(c.W * c.rb * c.nchunks for c in plans[0].classes)
+
+    rag_cols = [fp.a_col_remap[d][: len(loc_cols[d])].astype(np.int32)
+                for d in range(D)]
+    plans_r = bucketed_ops.plan_buckets_sharded(
+        A.ptr, A.col, D, R, b_starts=halo_starts, b_lens=halo_lens,
+        a_col_shards=rag_cols, **plan_kw)
+    if _area(plans_l) + _area(plans_h) > 1.25 * _area(plans_r):
+        return _spgemm_dist_bucketed(A, B, mesh, config, "ragged",
+                                     state)
     specs_l = tuple(c.spec for c in plans_l[0].classes)
     specs_h = tuple(c.spec for c in plans_h[0].classes)
     m_cap = plans_l[0].m_cap

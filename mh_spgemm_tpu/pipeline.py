@@ -391,6 +391,7 @@ class MaskedState:
     tile_pairs: object = None           # host tile transport stream
     dev: Optional[tuple] = None         # uploaded operand arrays
     dev_classes: Optional[list] = None  # uploaded class descriptor arrays
+    df: bool = False                    # double-f32 value pipeline
 
 
 def spgemm_masked(A: CSR, B: CSR,
@@ -412,17 +413,33 @@ def spgemm_masked(A: CSR, B: CSR,
         str(_jnp.dtype(config.vdtype)), 0)
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
+            # double-f32 value pipeline, decided before planning like
+            # spgemm_bucketed (it fixes the planar transport layout)
+            use_df = False
+            if vwords == 2 and config.df32 != "off":
+                if config.df32 == "on":
+                    use_df = True
+                else:
+                    blens = np.diff(np.asarray(B.ptr)).astype(np.int64)
+                    cs = np.concatenate(
+                        [[0], np.cumsum(blens[np.asarray(A.col)])])
+                    aptr = np.asarray(A.ptr)
+                    p_row = cs[aptr[1:]] - cs[aptr[:-1]]
+                    pmax = int(p_row.max()) if p_row.size else 1
+                    use_df = esc_tail_ops.df_range_ok(
+                        A.val, B.val, max(1, pmax))
             plan = bucketed_ops.plan_buckets(
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
                 area_cap=config.bucket_area_cap,
                 vwords=vwords if vwords else 2,
                 dma_fill=config.dma_fill if vwords else "off",
-                planar=(vwords == 1))
+                planar=(vwords == 1 or use_df))
             tpr, extras, tile_pairs = masked_ops.plan_masked_extras(
                 plan, A.ptr, A.col, B.ptr, B.col,
                 dma_fill=config.dma_fill if vwords else "off")
             state = MaskedState(plan=plan, extras=extras,
-                                tiles_per_row=tpr, tile_pairs=tile_pairs)
+                                tiles_per_row=tpr, tile_pairs=tile_pairs,
+                                df=use_df)
         plan = state.plan
 
     if A.nnz == 0 or B.nnz == 0 or not plan.classes:
@@ -436,11 +453,19 @@ def spgemm_masked(A: CSR, B: CSR,
     # like the reference, src/Timing.cpp:39-42) -------------------------
     with PhaseTimer.phase(timing, "form_mask_matrix_b"):
         if state.dev is None:
-            a_val = _jnp.asarray(A.val.astype(config.vdtype))
+            if state.df:
+                a_val = _jnp.asarray(np.stack(
+                    esc_tail_ops.dekker_split_np(
+                        A.val.astype(np.float64))))
+                b_val = _jnp.asarray(np.stack(
+                    esc_tail_ops.dekker_split_np(
+                        B.val.astype(np.float64))))
+            else:
+                a_val = _jnp.asarray(A.val.astype(config.vdtype))
+                b_val = _jnp.asarray(B.val.astype(config.vdtype))
             a_col = _jnp.asarray(A.col)
             b_ptr = _jnp.asarray(B.ptr)
             b_col = _jnp.asarray(B.col)
-            b_val = _jnp.asarray(B.val.astype(config.vdtype))
             st = mask_ops.mask_stage(b_ptr, b_col, b_ptr, b_col)
             if bucketed_ops.needs_pairs(plan):
                 builder = (bucketed_ops.build_pairs_planar
@@ -448,7 +473,7 @@ def spgemm_masked(A: CSR, B: CSR,
                            else bucketed_ops.build_pairs)
                 pairs = _jnp.asarray(builder(
                     B.col, B.val.astype(config.vdtype), vwords,
-                    bucketed_ops.pairs_wrows_max(plan)))
+                    bucketed_ops.pairs_wrows_max(plan), df=state.df))
             else:
                 pairs = _jnp.zeros((1, 128), _jnp.int32)
             if state.tile_pairs is not None:
@@ -489,7 +514,7 @@ def spgemm_masked(A: CSR, B: CSR,
                 ext_win, ext_runs, specs=specs, m=plan.m_cap,
                 vdtype=config.vdtype,
                 interpret=(config.dma_fill == "interpret"),
-                nnz_cap=plan.nnz_cap, ext_spec=ext_spec)
+                nnz_cap=plan.nnz_cap, ext_spec=ext_spec, df=state.df)
             if _jnp.dtype(config.vdtype) != cval.dtype:
                 cval = cval.astype(config.vdtype)
         with PhaseTimer.phase(timing, "numeric"):
@@ -504,13 +529,13 @@ def spgemm_masked(A: CSR, B: CSR,
             btileptr, tpr_d, tilecol, tilemask, tpairs,
             specs=specs, m=plan.m_cap,
             vdtype=config.vdtype,
-            interpret=(config.dma_fill == "interpret"))
+            interpret=(config.dma_fill == "interpret"), df=state.df)
         if config.profile:
             _fence(main_out[1])
 
     with PhaseTimer.phase(timing, "malloc_c_col_val"):
         cptr, ccol, cval = bucketed_ops.finish_bucketed(
-            plan, main_out, config.vdtype)
+            plan, main_out, config.vdtype, df=state.df)
 
     with PhaseTimer.phase(timing, "numeric"):
         _fence(cval)
