@@ -92,10 +92,14 @@ class SpGEMMConfig:
     # segmented accumulate + left-pack as one VMEM-resident Pallas
     # kernel instead of XLA sorts/scans, for power-of-two width classes
     # riding the f32/df32 value pipeline.  "auto" defers to the
-    # measured-cost default (currently XLA: batched in-row lax.sort is
-    # ~free on this backend, memory: mosaic-kernel-gotchas), "on"
-    # forces it on TPU, "interpret" forces it in interpreter mode
-    # (CPU tests), "off" disables.
+    # measured-cost default (currently XLA: the kernel beats the XLA
+    # tail per slot — ~2.1 vs 2.7 ns — only on classes that are
+    # ALREADY pow2; cant real-chip A/B round 3: bumping the width grid
+    # to pow2 costs more padding than the kernel saves, 1685 vs
+    # 1578 ms).  "on" runs it on natural pow2 classes, "pow2"
+    # additionally rounds fill-class widths up so every fill class
+    # engages, "interpret" forces interpreter mode (CPU tests),
+    # "off" disables.
     esc_tail: str = "auto"
     # Distributed halo transport for the ragged strategies: "xla" runs
     # lax.all_to_all on XLA's async collective streams (overlaps with

@@ -298,14 +298,14 @@ def spgemm_bucketed(A: CSR, B: CSR,
                     use_df = esc_tail_ops.df_range_ok(
                         A.val, B.val, max(1, pmax))
             f32_vals = vwords == 1 or use_df
-            tail_on = (config.esc_tail in ("on", "interpret")
-                       and f32_vals)
             plan = bucketed_ops.plan_buckets(
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
                 area_cap=config.bucket_area_cap,
                 vwords=vwords if vwords else 2,
                 dma_fill=config.dma_fill if vwords else "off",
-                planar=f32_vals, pow2_fill_widths=tail_on)
+                planar=f32_vals,
+                pow2_fill_widths=(config.esc_tail == "pow2"
+                                  and f32_vals))
             state = BucketedState(plan=plan, a_val=None, b_col=None,
                                   b_val=None, df=use_df)
         plan = state.plan
@@ -344,8 +344,8 @@ def spgemm_bucketed(A: CSR, B: CSR,
     # two dispatches + one fence (VERDICT round-2 item 2: on a ~31 ms
     # transport the extra round trip was the whole margin on the small
     # suite members).
-    tail = config.esc_tail if config.esc_tail in ("on", "interpret") \
-        else "off"        # "auto" -> measured-cost default (XLA tail)
+    tail = {"on": "on", "pow2": "on", "interpret": "interpret"}.get(
+        config.esc_tail, "off")  # "auto" -> measured default (XLA tail)
     if plan.class_caps is not None and not config.profile:
         with PhaseTimer.phase(timing, "calculate_c_nnz"):
             cptr, ccol, cval = bucketed_ops.run_bucketed_fused(
