@@ -116,6 +116,13 @@ class SpGEMMConfig:
     # (reference contract /root/reference/src/CSR.cu:60); "off" keeps
     # emulated f64; "on" forces the split (tests).
     df32: str = "auto"
+    # f64 block-dense pair-matmul on the MXU via the exact bf16-slice
+    # Ozaki decomposition (ops/ozaki.py): "auto" engages it on TPU when
+    # the plan-time error bound (ozaki.plan_ozaki_levels) certifies the
+    # 1e-9 comparator contract from the operands' value ranges; "off"
+    # keeps XLA's emulated-f64 batched matmul; "interpret" forces the
+    # kernel in Pallas interpreter mode (CPU tests).
+    ozaki: str = "auto"
 
     @property
     def vdtype(self):

@@ -70,6 +70,7 @@ class BlockPlan:
     cb_j: np.ndarray             # int32[ncb]   C block col
     end_pair: np.ndarray         # int32[ncb]   last pair index of each cb
     seg_passes: int              # log2 bound on pairs per C block
+    max_seg: int = 1             # exact max pairs per C block
     # strip layout (C block-rows -> left-packed slabs, by nj class)
     strips: list = dataclasses.field(default_factory=list)
     slab_row_start: Optional[np.ndarray] = None
@@ -77,6 +78,17 @@ class BlockPlan:
     dev: Optional[dict] = None
     nnz_c: Optional[int] = None
     nnz_cap: Optional[int] = None
+    # f64-on-MXU: slice count for the exact bf16 Ozaki pair-matmul
+    # (ops/ozaki.py), or None to keep XLA's emulated-f64 matmul.  Set by
+    # the pipeline from the operands' value ranges (plan_ozaki_levels).
+    ozaki_slices: Optional[int] = None
+    ozaki_interpret: bool = False
+    # Mosaic extraction plan over the strip slabs (shared with the
+    # bucketed engine: ops/bucketed.build_extract_plan), or None for the
+    # XLA gather extraction.  "auto"/"on"/"interpret"/"off" from
+    # config.dma_fill, recorded at plan time.
+    ext: Optional[object] = None
+    dma_fill: str = "off"
 
     def stats(self) -> dict:
         """Block-occupancy counters (the hash-conflict-counter analogue):
@@ -172,6 +184,7 @@ def plan_blockdense(a_ptr: np.ndarray, a_col: np.ndarray,
         pair_a=pa.astype(np.int32), pair_b=pb.astype(np.int32),
         pair_new=new, cb_i=cb_i, cb_j=cb_j, end_pair=end_pair.astype(
             np.int32), seg_passes=seg_passes,
+        max_seg=int(seg_len.max()) if seg_len.size else 1,
         flops=2 * npairs * BS ** 3)
 
     # strip classes: block-rows grouped by quantized nj (#C blocks)
@@ -210,10 +223,21 @@ def quantize_vec(x: np.ndarray) -> np.ndarray:
     return np.array([quantize(int(v)) for v in x], dtype=np.int64)
 
 
+def _per_elem_s(vdtype, ozaki: bool) -> float:
+    """ns per dense pair element, calibrated on v5e: f32 rides the fused
+    Pallas pair-matmul (~5 ns), f64 the emulated-f64 XLA matmul (~15 ns)
+    unless the Ozaki bf16-slice kernel is certified (~6 ns: 21 bf16 MXU
+    matmuls + TwoSum chain, no [npairs, BS, BS] f64 intermediate)."""
+    if jnp.dtype(vdtype) == jnp.float32:
+        return 5e-9
+    return 6e-9 if ozaki else 15e-9
+
+
 def estimate_blockdense_cost(a_ptr: np.ndarray, a_col: np.ndarray,
                              b_ptr: np.ndarray, b_col: np.ndarray,
                              m: int, k: int, vdtype,
-                             nslices: int = 16) -> float:
+                             nslices: int = 16,
+                             ozaki: bool = False) -> float:
     """Sampled O(nslices * BS rows) estimate of :func:`blockdense_cost`
     WITHOUT building the plan (round-2 VERDICT weak #5: the full planner
     — np.unique over every nonzero plus a Python strip loop — was real
@@ -245,22 +269,20 @@ def estimate_blockdense_cost(a_ptr: np.ndarray, a_col: np.ndarray,
 
     est_nab = mean_deg(a_ptr, a_col, mb) * mb
     est_npairs = est_nab * mean_deg(b_ptr, b_col, kb)
-    per_elem = 5e-9 if jnp.dtype(vdtype) == jnp.float32 else 15e-9
-    return est_npairs * BS * BS * per_elem
+    return est_npairs * BS * BS * _per_elem_s(vdtype, ozaki)
 
 
-def blockdense_cost(plan: Optional[BlockPlan], vdtype) -> float:
-    """Estimated seconds on the MXU path, calibrated on v5e (pdb1HYS-class:
-    ~15 ns per dense pair element in f64 covers the emulated-f64 matmul,
-    pattern matmul, segmented block sums and strip packing).  Compared
-    against the bucketed engine's ~31 ns/product to pick an engine — the
-    compute-unit reinterpretation of the reference's binning decision.
-    CSR extraction (~40 ns/nnz(C)) is common to both engines and omitted.
+def blockdense_cost(plan: Optional[BlockPlan], vdtype,
+                    ozaki: bool = False) -> float:
+    """Estimated seconds on the MXU path (see :func:`_per_elem_s` for the
+    v5e calibration).  Compared against the bucketed engine's per-class
+    model to pick an engine — the compute-unit reinterpretation of the
+    reference's binning decision.  CSR extraction (~40 ns/nnz(C)) is
+    common to both engines and omitted.
     """
     if plan is None:
         return float("inf")
-    per_elem = 5e-9 if jnp.dtype(vdtype) == jnp.float32 else 15e-9
-    return plan.npairs * BS * BS * per_elem
+    return plan.npairs * BS * BS * _per_elem_s(vdtype, ozaki)
 
 
 # ---------------------------------------------------------------------------
@@ -316,10 +338,13 @@ def _seg_block_sum(vals: jax.Array, new: jax.Array, passes: int
 
 
 @functools.partial(jax.jit, static_argnames=("specs", "seg_passes", "m",
-                                              "pair_chunk", "use_pallas"))
+                                              "pair_chunk", "use_pallas",
+                                              "ozaki_slices",
+                                              "ozaki_interpret"))
 def blockdense_main(dev, a_dense, a_pat, b_dense, b_pat, *,
                     specs: tuple, seg_passes: int, m: int,
-                    pair_chunk: int, use_pallas: bool = False):
+                    pair_chunk: int, use_pallas: bool = False,
+                    ozaki_slices: int = 0, ozaki_interpret: bool = False):
     """Batched MXU matmuls over the pair stream + segmented block sums +
     strip packing.  Returns (crow_nnz, cptr, total, strips).
 
@@ -327,10 +352,30 @@ def blockdense_main(dev, a_dense, a_pat, b_dense, b_pat, *,
     (ops/pallas_gather.pair_matmul_f32) replaces the gather + batched
     matmul + segmented-sum XLA passes — operands stream through VMEM and
     the per-C-block accumulator never touches HBM, removing the
-    [npairs, BS, BS] intermediate entirely."""
+    [npairs, BS, BS] intermediate entirely.
+
+    ``ozaki_slices`` (f64 on TPU): the exact bf16-slice pair-matmul
+    (ops/ozaki.py) does the same for float64 — the MXU path the emulated-
+    f64 XLA matmul never gets — using ``dev["a_sl"]/["b_sl"]`` cached by
+    :func:`run_blockdense`."""
     pair_a, pair_b = dev["pair_a"], dev["pair_b"]
     new = dev["pair_new"]
     npairs = pair_a.shape[0]
+
+    if ozaki_slices:
+        from .ozaki import pair_matmul_f64_ozaki
+        from .pallas_gather import pair_matmul_f32
+        ncb = int(dev["cb_j"].shape[0])
+        cb_of_pair = jnp.cumsum(new.astype(jnp.int32)) - 1
+        live = jnp.ones((npairs,), bool)
+        cvals = pair_matmul_f64_ozaki(
+            dev["a_sl"], dev["b_sl"], pair_a, pair_b, cb_of_pair, live,
+            ncb=ncb, nslices=ozaki_slices, interpret=ozaki_interpret)
+        cpats = pair_matmul_f32(a_pat, b_pat, pair_a, pair_b,
+                                cb_of_pair, live, ncb=ncb,
+                                interpret=ozaki_interpret)
+        return _blockdense_strips(dev, cvals, cpats, specs, m,
+                                  by_end_pair=False)
 
     if use_pallas:
         from .pallas_gather import pair_matmul_f32
@@ -426,23 +471,6 @@ def _blockdense_strips(dev, vsum, psum, specs, m: int, by_end_pair: bool):
     return crow, cptr, total, strips
 
 
-@functools.partial(jax.jit, static_argnames=("m", "nnz_cap"))
-def blockdense_extract(strips, slab_row_start, cptr, *, m: int,
-                       nnz_cap: int):
-    """Same gather-only extraction as the bucketed engine, over the strip
-    slabs."""
-    from .bucketed import _slab_src
-    flat_c = jnp.concatenate([oC.reshape(-1) for oC, _ in strips])
-    flat_v = jnp.concatenate([oV.reshape(-1) for _, oV in strips])
-    src = _slab_src(slab_row_start, cptr, m, nnz_cap)
-    j = jnp.arange(nnz_cap, dtype=jnp.int32)
-    ok = j < cptr[m]
-    src = jnp.clip(jnp.where(ok, src, 0), 0, flat_c.shape[0] - 1)
-    ccol = jnp.where(ok, flat_c[src], 0)
-    cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
-    return ccol, cval
-
-
 # ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------
@@ -451,30 +479,74 @@ def run_blockdense(plan: BlockPlan, a_val, b_val, pair_chunk: int = 512):
     """Densify (cached in plan.dev) + main program dispatch."""
     upload_blockplan(plan)
     d = plan.dev
-    if "a_dense" not in d:
+    ozaki = plan.ozaki_slices or 0
+    if "a_dense" not in d and "a_sl" not in d:
         d["a_dense"], d["a_pat"] = densify(
             d["a_blk"], d["a_pos"], a_val, nblk=plan.nab)
         d["b_dense"], d["b_pat"] = densify(
             d["b_blk"], d["b_pos"], b_val, nblk=plan.nbb)
+        if ozaki:
+            # exact bf16 slices per contraction line (ops/ozaki.py);
+            # the f64 dense blocks are dead weight afterwards — drop
+            # them so the slice stack doesn't double peak HBM
+            from .ozaki import slice_blocks
+            d["a_sl"] = slice_blocks(d["a_dense"], nslices=ozaki,
+                                     contract_axis=2)
+            d["b_sl"] = slice_blocks(d["b_dense"], nslices=ozaki,
+                                     contract_axis=1)
+            del d["a_dense"], d["b_dense"]
     specs = tuple((s.nj, s.nrows_blk) for s in plan.strips)
     chunk = min(quantize(plan.npairs), pair_chunk)
-    # f32 on TPU: the fused Pallas pair-matmul path (64-bit types cannot
-    # cross the Mosaic custom-call boundary, so f64 stays on XLA's
-    # emulated-f64 batched matmul)
+    # f32 on TPU: the fused Pallas pair-matmul path; f64 on TPU: the
+    # exact bf16-slice Ozaki pair-matmul when the plan certified its
+    # error bound (64-bit types cannot cross the Mosaic custom-call
+    # boundary — slices do, exactly).  Otherwise XLA's emulated-f64
+    # batched matmul.
     from .pallas_gather import _on_tpu
-    use_pallas = (_on_tpu() and d["a_dense"].dtype == jnp.float32)
+    a_dense = d.get("a_dense")
+    b_dense = d.get("b_dense")
+    use_pallas = (a_dense is not None and _on_tpu()
+                  and a_dense.dtype == jnp.float32)
     return blockdense_main(
-        d, d["a_dense"], d["a_pat"], d["b_dense"], d["b_pat"],
+        d, a_dense, d["a_pat"], b_dense, d["b_pat"],
         specs=specs, seg_passes=plan.seg_passes, m=plan.m,
-        pair_chunk=chunk, use_pallas=use_pallas)
+        pair_chunk=chunk, use_pallas=use_pallas,
+        ozaki_slices=ozaki, ozaki_interpret=plan.ozaki_interpret)
 
 
 def finish_blockdense(plan: BlockPlan, main_out):
     crow, cptr, total, strips = main_out
+    from . import bucketed as bucketed_ops
+    from . import ragged_fill as rf
     if plan.nnz_cap is None:
-        plan.nnz_c = int(np.asarray(total))       # one first-run sync
+        crow_h = np.asarray(crow)                 # the one first-run sync
+        plan.nnz_c = int(crow_h.sum())
         plan.nnz_cap = quantize(max(1, plan.nnz_c))
-    ccol, cval = blockdense_extract(
-        strips, plan.dev["slab_start"], cptr, m=plan.m,
-        nnz_cap=plan.nnz_cap)
+        fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
+                   and (rf.on_tpu() or plan.dma_fill == "interpret"))
+        if fill_ok and plan.nnz_c:
+            vdt = strips[0][1].dtype if strips else jnp.float32
+            plan.ext = bucketed_ops.build_extract_plan(
+                crow_h[: plan.m], plan.slab_row_start,
+                area=sum(oC.shape[0] * oC.shape[1] for oC, _ in strips),
+                nplanes=3 if vdt == jnp.float64 else 2,
+                force=plan.dma_fill in ("on", "interpret"))
+    # the Mosaic extraction consumes the same left-packed slab layout as
+    # the bucketed engine's — reuse its kernel driver wholesale (strips
+    # become (col, val, None) triples)
+    slabs = [(oC, oV, None) for oC, oV in strips]
+    if plan.ext is not None:
+        e = plan.ext
+        if e.dev is None:
+            e.dev = (jnp.asarray(e.win_row), jnp.asarray(e.runs))
+        ccol, cval = bucketed_ops.bucketed_extract_mosaic(
+            slabs, e.dev[0], e.dev[1], plan.dev["slab_start"], cptr,
+            spec=(e.nplanes, e.nchunks, e.cap_slots, e.wrows,
+                  e.area_pad),
+            m=plan.m, nnz_cap=plan.nnz_cap,
+            interpret=(plan.dma_fill == "interpret"), df=False)
+        return cptr, ccol, cval
+    ccol, cval = bucketed_ops.bucketed_extract(
+        slabs, plan.dev["slab_start"], cptr, m=plan.m,
+        nnz_cap=plan.nnz_cap, df=False)
     return cptr, ccol, cval

@@ -1268,20 +1268,31 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
     output-chunk and window caps, windowed like the expansion runs.
     Attached to ``plan.ext`` when the cost model beats the XLA gather
     extraction."""
-    nplanes = 1 + (2 if plan.vwords == 2 else 1)  # col + hi (+ lo)
-    force = plan.dma_fill in ("on", "interpret")
+    plan.ext = build_extract_plan(
+        crow, plan.slab_row_start,
+        area=sum(c.W * c.rb * c.nchunks for c in plan.classes),
+        nplanes=1 + (2 if plan.vwords == 2 else 1),  # col + hi (+ lo)
+        force=plan.dma_fill in ("on", "interpret"))
+
+
+def build_extract_plan(crow: np.ndarray, slab_row_start: np.ndarray,
+                       *, area: int, nplanes: int,
+                       force: bool) -> Optional[ExtractPlan]:
+    """Engine-generic core of :func:`plan_extract`: any engine whose
+    output lives in left-packed row slabs addressed by ``slab_row_start``
+    (bucketed classes, masked classes, block-dense strips) can stream its
+    CSR extraction through the same windowed-run kernel."""
     nnz_c = int(crow.sum())
     if nnz_c == 0:
-        return
+        return None
     avg_slots = nnz_c / max(1, int((crow > 0).sum()))
     if not force and avg_slots < _FILL_MIN_SPAN_WORDS:
-        return
-    area = sum(c.W * c.rb * c.nchunks for c in plan.classes)
+        return None
     area_pad = -(-area // 128) * 128
     nnz_cap = quantize(max(1, nnz_c))
     if (area_pad * nplanes + _FILL_BIAS_WORDS >= 2**31
             or nnz_cap * nplanes >= 2**31):
-        return                        # int32 word addressing would overflow
+        return None                   # int32 word addressing would overflow
     # peak HBM while extracting = live slabs (12 B/slot f64) + the planar
     # word stream (4 B/word) + the chunked output; past ~11 GB keep the
     # XLA gather extraction (v5e has 15.75 GB and the main program's sort
@@ -1289,10 +1300,10 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
     peak_bytes = (area * 12 + area * nplanes * 4
                   + nnz_cap * nplanes * 8)
     if peak_bytes > 11 * (1 << 30):
-        return
+        return None
     rows = np.flatnonzero(crow > 0)
     cptr = np.concatenate([[0], np.cumsum(crow, dtype=np.int64)])
-    src = plan.slab_row_start[rows].astype(np.int64)
+    src = slab_row_start[rows].astype(np.int64)
     dst = cptr[rows]
     ln = crow[rows].astype(np.int64)
     CAPS = _FILL_WORDS_CAP // nplanes       # output SLOTS per chunk
@@ -1330,18 +1341,18 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
     fill_est = (s_total * _FILL_STEP_US * 1e3
                 + r_total * (_FILL_RUN_US + 0.17 * (nplanes - 1)) * 1e3
                 + nnz_c * nplanes * 0.7)
-    gather_est = nnz_c * (43.0 if plan.vwords == 2 else 29.0)
+    gather_est = nnz_c * (43.0 if nplanes == 3 else 29.0)
     if fill_est >= gather_est and not force:
-        return
+        return None
     S = quantize(max(w.shape[0] for w in wins))
     win_row = np.zeros((nchunks, S, 2), np.int32)
     runs = np.zeros((nchunks, S, _FILL_EPG, 3), np.int32)
     for k, (w, r) in enumerate(zip(wins, runss)):
         win_row[k, :w.shape[0]] = w
         runs[k, :r.shape[0]] = r
-    plan.ext = ExtractPlan(nplanes=nplanes, nchunks=nchunks,
-                           cap_slots=CAPS, wrows=wrows,
-                           area_pad=area_pad, win_row=win_row, runs=runs)
+    return ExtractPlan(nplanes=nplanes, nchunks=nchunks,
+                       cap_slots=CAPS, wrows=wrows,
+                       area_pad=area_pad, win_row=win_row, runs=runs)
 
 
 def _dekker_words(oV):

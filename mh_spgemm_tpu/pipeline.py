@@ -572,12 +572,24 @@ def spgemm_blockdense(A: CSR, B: CSR,
 
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
+            oz_hint = _ozaki_slices(A, B, config, seg_pairs=1 << 10)
             plan = blockdense_ops.plan_blockdense(
                 A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
-                max_pairs=_pair_budget(config))
+                max_pairs=_pair_budget(config, ozaki=oz_hint is not None))
             require(plan is not None, SpGEMMError,
                     "block-dense plan infeasible (empty or >int32 slab); "
                     "use mode='bucketed'")
+            plan.dma_fill = config.dma_fill   # Mosaic extraction gating
+            if oz_hint is not None:
+                # re-certify with the plan's exact max segment length
+                plan.ozaki_slices = _ozaki_slices(
+                    A, B, config, seg_pairs=plan.max_seg)
+                plan.ozaki_interpret = (config.ozaki == "interpret")
+                require(plan.ozaki_slices is not None
+                        or plan.npairs <= 16384, SpGEMMError,
+                        "f64 pair stream exceeds the emulated-f64 budget "
+                        "and the Ozaki bound cannot certify 1e-9; "
+                        "use mode='bucketed'")
             state = BlockDenseState(plan=plan)
         plan = state.plan
 
@@ -602,13 +614,33 @@ def spgemm_blockdense(A: CSR, B: CSR,
     return C, state
 
 
-def _pair_budget(config: SpGEMMConfig) -> int:
-    """Block-pair budget: the f32 path runs the fused Pallas pair-matmul
-    with no [npairs, BS, BS] HBM intermediate, so it affords a much larger
-    stream than the f64 XLA path (which materialises it)."""
+def _pair_budget(config: SpGEMMConfig, ozaki: bool = False) -> int:
+    """Block-pair budget: the fused Pallas pair-matmuls (f32, and f64 via
+    the Ozaki bf16-slice kernel) stream through VMEM with no
+    [npairs, BS, BS] HBM intermediate, so they afford a much larger
+    stream than the emulated-f64 XLA path (which materialises it)."""
     import jax.numpy as _jnp
-    return (1 << 18) if _jnp.dtype(config.vdtype) == _jnp.float32 \
-        else 16384
+    if _jnp.dtype(config.vdtype) == _jnp.float32 or ozaki:
+        return 1 << 18
+    return 16384
+
+
+def _ozaki_slices(A: CSR, B: CSR, config: SpGEMMConfig,
+                  seg_pairs: int):
+    """f64-on-MXU decision (ops/ozaki.py): bf16 slice count certified by
+    the plan-time error bound against the operands' value ranges, or
+    None to keep XLA's emulated-f64 matmul (CPU backend, config off, or
+    value ranges past the bound)."""
+    import numpy as _np
+    if jnp.dtype(config.vdtype) != jnp.float64 or config.ozaki == "off":
+        return None
+    from .ops.pallas_gather import _on_tpu
+    if not (_on_tpu() or config.ozaki == "interpret"):
+        return None
+    from .ops.ozaki import plan_ozaki_levels
+    amax = float(_np.max(_np.abs(A.val))) if A.nnz else 0.0
+    bmax = float(_np.max(_np.abs(B.val))) if B.nnz else 0.0
+    return plan_ozaki_levels(amax, bmax, seg_pairs)
 
 
 def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
@@ -629,14 +661,15 @@ def choose_engine(A: CSR, B: CSR, config: SpGEMMConfig) -> str:
     bkt_s = bucketed_ops.estimate_cost_s(
         A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
         vwords=vwords)
+    oz = _ozaki_slices(A, B, config, seg_pairs=1 << 10) is not None
     est_mxu = blockdense_ops.estimate_blockdense_cost(
-        A.ptr, A.col, B.ptr, B.col, A.M, A.N, config.vdtype)
+        A.ptr, A.col, B.ptr, B.col, A.M, A.N, config.vdtype, ozaki=oz)
     if est_mxu > 3.0 * bkt_s:
         return "bucketed"
     plan = blockdense_ops.plan_blockdense(
         A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
-        max_pairs=_pair_budget(config))
-    mxu_s = blockdense_ops.blockdense_cost(plan, config.vdtype)
+        max_pairs=_pair_budget(config, ozaki=oz))
+    mxu_s = blockdense_ops.blockdense_cost(plan, config.vdtype, ozaki=oz)
     return "blockdense" if mxu_s < bkt_s else "bucketed"
 
 
