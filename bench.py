@@ -48,10 +48,35 @@ def _oracle_ms_cached(name: str, A, B) -> float:
     return ms
 
 
-def main() -> int:
-    import mh_spgemm_tpu  # noqa: F401  (enables x64)
+def run_one(name: str, iters: int, mode: str, dtype: str) -> dict:
+    """One matrix through the protocol (runs inside a per-matrix
+    subprocess: device buffers from earlier suite members otherwise
+    linger through the relay and thrash HBM — shipsec1 measured 44 s
+    in-process vs 0.27 s isolated; the persistent compile cache keeps
+    the isolation nearly free)."""
     from mh_spgemm_tpu import SpGEMMConfig, gflops
     from mh_spgemm_tpu.bench.driver import run_matrix
+    from mh_spgemm_tpu.io import suites
+
+    config = SpGEMMConfig(mode=mode, value_dtype=dtype)
+    A = suites.load_matrix(name)
+    res = run_matrix(A, name, config, iters=iters, warmup=2,
+                     check=False, verbose=False)
+    oracle_ms = _oracle_ms_cached(name, A, A)  # suite: C = A @ A
+    return {
+        "gflops": round(res.gflops, 3),
+        "oracle_gflops": round(gflops(res.intprod, oracle_ms), 3),
+        "nnz_c": res.nnz_c,
+        "nnzc_per_s": round(res.nnzc_per_s, 1),
+        "total_ms": round(res.timing.total(), 3),
+        "oracle_ms": round(oracle_ms, 3),
+    }
+
+
+def main() -> int:
+    import subprocess
+    import mh_spgemm_tpu  # noqa: F401  (enables x64)
+
     from mh_spgemm_tpu.io import suites
 
     names = os.environ.get("BENCH_MATRICES")
@@ -60,28 +85,30 @@ def main() -> int:
     mode = os.environ.get("BENCH_MODE", "auto")
     dtype = os.environ.get("BENCH_DTYPE", "float64")
 
-    config = SpGEMMConfig(mode=mode, value_dtype=dtype)
     per_matrix = {}
     ours, base = [], []
+    here = os.path.dirname(os.path.abspath(__file__))
     for name in names:
+        child = (f"import json, sys; sys.path.insert(0, {here!r}); "
+                 f"import bench; print('RESULT ' + json.dumps("
+                 f"bench.run_one({name!r}, {iters}, {mode!r}, "
+                 f"{dtype!r})))")
         try:
-            A = suites.load_matrix(name)
-            res = run_matrix(A, name, config, iters=iters, warmup=2,
-                             check=False, verbose=False)
-            oracle_ms = _oracle_ms_cached(name, A, A)  # suite: C = A @ A
-            o_gf = gflops(res.intprod, oracle_ms)
-            per_matrix[name] = {
-                "gflops": round(res.gflops, 3),
-                "oracle_gflops": round(o_gf, 3),
-                "nnz_c": res.nnz_c,
-                "nnzc_per_s": round(res.nnzc_per_s, 1),
-                "total_ms": round(res.timing.total(), 3),
-                "oracle_ms": round(oracle_ms, 3),
-            }
-            if res.gflops > 0:
-                ours.append(res.gflops)
-                base.append(o_gf)
-        except Exception as e:  # scored as failure, like the reference
+            if os.environ.get("BENCH_INPROC"):
+                per_matrix[name] = run_one(name, iters, mode, dtype)
+            else:
+                p = subprocess.run([sys.executable, "-c", child],
+                                   capture_output=True, text=True,
+                                   timeout=3600, cwd=here)
+                line = next(ln for ln in p.stdout.splitlines()
+                            if ln.startswith("RESULT "))
+                per_matrix[name] = json.loads(line[len("RESULT "):])
+            if per_matrix[name]["gflops"] > 0:
+                ours.append(per_matrix[name]["gflops"])
+                base.append(per_matrix[name]["oracle_gflops"])
+        except StopIteration:  # scored as failure, like the reference
+            per_matrix[name] = {"error": p.stderr[-300:]}
+        except Exception as e:
             per_matrix[name] = {"error": f"{type(e).__name__}: {e}"}
 
     if not ours:

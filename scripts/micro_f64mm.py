@@ -4,7 +4,10 @@ Sizes the win available to an Ozaki-style exact-slice f64 pair-matmul
 (VERDICT round-2 missing #1): if emulated f64 costs >> ~21x a bf16
 matmul, the slice decomposition pays.
 """
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -16,24 +19,30 @@ BS = 128
 G = 512
 
 
-def bench(dtype, iters=10):
-    k = jax.random.PRNGKey(0)
-    a = jax.random.normal(k, (G, BS, BS), jnp.float32).astype(dtype)
-    b = jax.random.normal(k, (G, BS, BS), jnp.float32).astype(dtype)
+def bench(dtype, iters=100):
+    a = (jax.random.normal(jax.random.PRNGKey(0), (G, BS, BS),
+                           jnp.float32) * 1e-3).astype(dtype)
+    b = (jax.random.normal(jax.random.PRNGKey(1), (G, BS, BS),
+                           jnp.float32) * 1e-3).astype(dtype)
 
     @jax.jit
     def f(a, b):
-        return jax.lax.dot_general(
+        r = jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype)
+        return r, jnp.sum(r[:, 0, 0])
 
-    r = f(a, b)
-    r.block_until_ready()
+    # block_until_ready is a no-op through the axon relay: fence with a
+    # tiny fetch, chain iterations so nothing can be elided (measured
+    # v5e: bf16 0.42 ms, f32 0.50 ms, emulated f64 18.6 ms per call)
+    r, s = f(a, b)
+    float(s)
     t0 = time.perf_counter()
+    r = a
     for _ in range(iters):
-        r = f(a, b)
-    r.block_until_ready()
+        r, s = f(r, b)
+    float(s)
     ms = (time.perf_counter() - t0) / iters * 1e3
     flops = 2 * G * BS**3
     return ms, flops / ms / 1e6  # GFLOPS
