@@ -71,8 +71,15 @@ class BenchResult:
 
 def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
                iters: int = 3, warmup: int = 2,
-               check: bool = False, verbose: bool = True) -> BenchResult:
-    """Benchmark C = A @ B (B = A, or A^T under config.aat) on one matrix."""
+               check: bool = False, verbose: bool = True,
+               mode: Optional[str] = None,
+               state=None) -> BenchResult:
+    """Benchmark C = A @ B (B = A, or A^T under config.aat) on one matrix.
+
+    ``mode``/``state`` let a caller that already chose the engine and
+    prepared (possibly cache-warmed) state skip re-planning — bench.py
+    uses this with the capacity cache (bench/plan_cache.py); ``state`` is
+    mutated in place so the caller's reference stays current."""
     B = A.transpose() if (config.aat and not A.is_symmetric) else A
     intprod = A.intprod(B)  # host-side, like src/main.cu:102-107
     if verbose:
@@ -82,7 +89,8 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
     C = None
     bench_timing = Timing()
     try:
-        mode = config.mode
+        if mode is None:
+            mode = config.mode
         if mode == "auto":
             from ..pipeline import choose_engine
             mode = choose_engine(A, B, config)
@@ -94,7 +102,6 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
             run = {"bucketed": spgemm_bucketed,
                    "blockdense": spgemm_blockdense,
                    "masked": spgemm_masked}[mode]
-            state = None
             for _ in range(warmup):
                 C, state = run(A, B, config=config, timing=Timing(),
                                state=state)

@@ -89,6 +89,9 @@ class BlockPlan:
     # config.dma_fill, recorded at plan time.
     ext: Optional[object] = None
     dma_fill: str = "off"
+    crow_h: Optional[np.ndarray] = None  # learned per-row nnz(C) (host)
+    ext_area: Optional[int] = None       # strip slab area (ext plan input)
+    ext_nplanes: Optional[int] = None
 
     def stats(self) -> dict:
         """Block-occupancy counters (the hash-conflict-counter analogue):
@@ -514,6 +517,29 @@ def run_blockdense(plan: BlockPlan, a_val, b_val, pair_chunk: int = 512):
         ozaki_slices=ozaki, ozaki_interpret=plan.ozaki_interpret)
 
 
+def warm_blockplan_from_crow(plan: BlockPlan, crow: np.ndarray,
+                             ext_area: int, ext_nplanes: int) -> None:
+    """Warm a fresh block plan from previously-learned per-row nnz(C)
+    counts (plus the strip-slab geometry recorded with them) so the first
+    run skips the crow readback and compiles the extraction program
+    directly — the blockdense analogue of bucketed.warm_plan_from_crow."""
+    from . import bucketed as bucketed_ops
+    from . import ragged_fill as rf
+    crow = np.asarray(crow).astype(np.int32)[: plan.m]
+    plan.nnz_c = int(crow.sum())
+    plan.nnz_cap = quantize(max(1, plan.nnz_c))
+    plan.crow_h = crow
+    plan.ext_area = int(ext_area)
+    plan.ext_nplanes = int(ext_nplanes)
+    fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
+               and (rf.on_tpu() or plan.dma_fill == "interpret"))
+    if fill_ok and plan.nnz_c:
+        plan.ext = bucketed_ops.build_extract_plan(
+            plan.crow_h, plan.slab_row_start,
+            area=plan.ext_area, nplanes=plan.ext_nplanes,
+            force=plan.dma_fill in ("on", "interpret"))
+
+
 def finish_blockdense(plan: BlockPlan, main_out):
     crow, cptr, total, strips = main_out
     from . import bucketed as bucketed_ops
@@ -522,14 +548,16 @@ def finish_blockdense(plan: BlockPlan, main_out):
         crow_h = np.asarray(crow)                 # the one first-run sync
         plan.nnz_c = int(crow_h.sum())
         plan.nnz_cap = quantize(max(1, plan.nnz_c))
+        plan.crow_h = crow_h[: plan.m].astype(np.int32)
+        vdt = strips[0][1].dtype if strips else jnp.float32
+        plan.ext_area = sum(oC.shape[0] * oC.shape[1] for oC, _ in strips)
+        plan.ext_nplanes = 3 if vdt == jnp.float64 else 2
         fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
                    and (rf.on_tpu() or plan.dma_fill == "interpret"))
         if fill_ok and plan.nnz_c:
-            vdt = strips[0][1].dtype if strips else jnp.float32
             plan.ext = bucketed_ops.build_extract_plan(
-                crow_h[: plan.m], plan.slab_row_start,
-                area=sum(oC.shape[0] * oC.shape[1] for oC, _ in strips),
-                nplanes=3 if vdt == jnp.float64 else 2,
+                plan.crow_h, plan.slab_row_start,
+                area=plan.ext_area, nplanes=plan.ext_nplanes,
                 force=plan.dma_fill in ("on", "interpret"))
     # the Mosaic extraction consumes the same left-packed slab layout as
     # the bucketed engine's — reuse its kernel driver wholesale (strips

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -163,6 +164,7 @@ class BucketPlan:
     dma_fill: str = "off"
     vwords: int = 2
     ext: Optional[ExtractPlan] = None   # Mosaic extraction (or None)
+    crow_h: Optional[np.ndarray] = None  # learned per-row nnz(C) (host)
 
     def stats(self) -> dict:
         """Occupancy/padding counters — the TPU analogue of the reference's
@@ -417,6 +419,42 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                        if b_starts.size else 0) * stride < 2**31
                and (rf.on_tpu() or dma_fill == "interpret"))
     fill_slot_cap = _FILL_WORDS_CAP // stride
+
+    if forced is not None and active.size:
+        # a union spec's width set may be sparser than this shard's
+        # natural grid (per-shard class consolidation below merges small
+        # classes before the union is taken): map every row up to the
+        # smallest forced width that holds it
+        fw = np.array(sorted(forced), dtype=np.int64)
+        require_ok = wclass <= fw[-1]
+        if not require_ok.all():
+            raise ValueError("forced spec narrower than shard rows")
+        wclass = fw[np.searchsorted(fw, wclass, side="left")]
+
+    if forced is None and active.size:
+        # class consolidation: every class costs a fixed per-dispatch
+        # overhead (~1 ms of small-array ops on this host/transport;
+        # scircuit's 20-class plan spent ~15 ms there) plus real compile
+        # time, while merging a class into the next-larger width only
+        # pads its rows' slots.  Greedily merge ascending while the
+        # padding cost (per-slot expansion cost x extra slots) stays
+        # below the fixed cost.  Per-slot cost: ~4 ns on the Mosaic fill
+        # path, ~26 ns on the XLA gather path (bench/driver.py roofline).
+        merge_ns = float(os.environ.get("MHSPGEMM_CLASS_MERGE_NS", "1e6"))
+        widths_u = sorted(int(w) for w in np.unique(wclass))
+        span = p * stride / np.maximum(1, row_vcnt[active])
+        for i, w in enumerate(widths_u[:-1]):
+            sel = wclass == w
+            nxt = widths_u[i + 1]
+            if nxt > fill_slot_cap >= w:
+                continue        # don't push a fill-capable class past cap
+            rows_n = int(sel.sum())
+            fillish = (fill_ok and nxt <= fill_slot_cap
+                       and float(span[sel].mean()) >=
+                       _FILL_MIN_SPAN_WORDS)
+            slot_ns = 4.0 if fillish else 26.0
+            if rows_n * (nxt - w) * slot_ns < merge_ns:
+                wclass[sel] = nxt
 
     widths = sorted(set(int(w) for w in np.unique(wclass))
                     | set(forced or ()))
@@ -1275,6 +1313,32 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
         force=plan.dma_fill in ("on", "interpret"))
 
 
+def warm_plan_from_crow(plan: BucketPlan, crow: np.ndarray) -> None:
+    """Warm a fresh plan from previously-learned per-row nnz(C) counts so
+    the first call runs the fused one-dispatch program directly — no cold
+    ``run_bucketed`` compile, no totals fetch.  ``crow`` must come from an
+    identical (matrix, plan-config) pair; the per-class totals and the
+    extraction plan are re-derived from it exactly as the first-run
+    readback would (finish_bucketed).  Used by the benchmark harness to
+    cut cold-process compile count in half — a full fused-program compile
+    through the remote-compile tunnel costs ~70-80 s."""
+    crow = np.asarray(crow).astype(np.int64)[: plan.m]
+    caps = []
+    for c in plan.classes:
+        rows = c.rows_g[c.rows_g >= 0]
+        total = int(crow[rows].sum()) if rows.size else 0
+        caps.append(quantize(total) if total else 1)
+    plan.class_caps = tuple(caps)
+    plan.nnz_c = int(crow.sum())
+    plan.nnz_cap = quantize(max(1, plan.nnz_c))
+    plan.crow_h = crow.astype(np.int32)
+    fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
+               and plan.vwords in (1, 2)
+               and (rf.on_tpu() or plan.dma_fill == "interpret"))
+    if fill_ok and plan.nnz_c:
+        plan_extract(plan, plan.crow_h)
+
+
 def build_extract_plan(crow: np.ndarray, slab_row_start: np.ndarray,
                        *, area: int, nplanes: int,
                        force: bool) -> Optional[ExtractPlan]:
@@ -1529,11 +1593,12 @@ def finish_bucketed(plan: BucketPlan, main_out, vdtype, df: bool = False):
         plan.class_caps = tuple(quantize(int(x)) if x else 1 for x in t)
         plan.nnz_c = int(t.sum())
         plan.nnz_cap = quantize(max(1, plan.nnz_c))
+        plan.crow_h = np.asarray(crow)[: plan.m].astype(np.int32)
         fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
                    and plan.vwords in (1, 2)
                    and (rf.on_tpu() or plan.dma_fill == "interpret"))
         if fill_ok and plan.nnz_c:
-            plan_extract(plan, np.asarray(crow)[: plan.m])
+            plan_extract(plan, plan.crow_h)
     if plan.ext is not None:
         e = plan.ext
         if e.dev is None:

@@ -257,6 +257,46 @@ class BucketedState:
     df: bool = False            # double-f32 value pipeline (f64 on-device)
 
 
+def _decide_df(A: CSR, B: CSR, config: SpGEMMConfig, vwords: int) -> bool:
+    """Double-f32 value pipeline decision: f64 without emulated-f64 device
+    ops, whenever the plan-time range guard certifies the 1e-9 comparator
+    bound (config.df32; esc_tail.df_range_ok).  Decided BEFORE planning:
+    it fixes the transport layout (planar f32 planes) and the width grid
+    (pow2 when the fused Mosaic tail will run)."""
+    if vwords != 2 or config.df32 == "off":
+        return False
+    if config.df32 == "on":
+        return True
+    blens = np.diff(np.asarray(B.ptr)).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(blens[np.asarray(A.col)])])
+    aptr = np.asarray(A.ptr)
+    p_row = cs[aptr[1:]] - cs[aptr[:-1]]
+    pmax = int(p_row.max()) if p_row.size else 1
+    return esc_tail_ops.df_range_ok(A.val, B.val, max(1, pmax))
+
+
+def prepare_bucketed_state(A: CSR, B: CSR,
+                           config: SpGEMMConfig = DEFAULT_CONFIG
+                           ) -> BucketedState:
+    """Host-side planning for the bucketed engine (the ``state=None``
+    branch of :func:`spgemm_bucketed`, exposed so callers can warm the
+    plan — e.g. from a capacity cache, bench.py — before the first run)."""
+    import jax.numpy as _jnp
+    vwords = {"float64": 2, "float32": 1}.get(
+        str(_jnp.dtype(config.vdtype)), 0)
+    use_df = _decide_df(A, B, config, vwords)
+    f32_vals = vwords == 1 or use_df
+    plan = bucketed_ops.plan_buckets(
+        A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
+        area_cap=config.bucket_area_cap,
+        vwords=vwords if vwords else 2,
+        dma_fill=config.dma_fill if vwords else "off",
+        planar=f32_vals,
+        pow2_fill_widths=(config.esc_tail == "pow2" and f32_vals))
+    return BucketedState(plan=plan, a_val=None, b_col=None,
+                         b_val=None, df=use_df)
+
+
 def spgemm_bucketed(A: CSR, B: CSR,
                     config: SpGEMMConfig = DEFAULT_CONFIG,
                     timing: Optional[Timing] = None,
@@ -278,36 +318,7 @@ def spgemm_bucketed(A: CSR, B: CSR,
         str(_jnp.dtype(config.vdtype)), 0)
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
-            # double-f32 value pipeline: f64 without emulated-f64 device
-            # ops, whenever the plan-time range guard certifies the 1e-9
-            # comparator bound (config.df32; esc_tail.df_range_ok).
-            # Decided BEFORE planning: it fixes the transport layout
-            # (planar f32 planes) and the width grid (pow2 when the
-            # fused Mosaic tail will run).
-            use_df = False
-            if vwords == 2 and config.df32 != "off":
-                if config.df32 == "on":
-                    use_df = True
-                else:
-                    blens = np.diff(np.asarray(B.ptr)).astype(np.int64)
-                    cs = np.concatenate(
-                        [[0], np.cumsum(blens[np.asarray(A.col)])])
-                    aptr = np.asarray(A.ptr)
-                    p_row = cs[aptr[1:]] - cs[aptr[:-1]]
-                    pmax = int(p_row.max()) if p_row.size else 1
-                    use_df = esc_tail_ops.df_range_ok(
-                        A.val, B.val, max(1, pmax))
-            f32_vals = vwords == 1 or use_df
-            plan = bucketed_ops.plan_buckets(
-                A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
-                area_cap=config.bucket_area_cap,
-                vwords=vwords if vwords else 2,
-                dma_fill=config.dma_fill if vwords else "off",
-                planar=f32_vals,
-                pow2_fill_widths=(config.esc_tail == "pow2"
-                                  and f32_vals))
-            state = BucketedState(plan=plan, a_val=None, b_col=None,
-                                  b_val=None, df=use_df)
+            state = prepare_bucketed_state(A, B, config)
         plan = state.plan
 
     with PhaseTimer.phase(timing, "mem_alloc"):
@@ -415,19 +426,7 @@ def spgemm_masked(A: CSR, B: CSR,
         if state is None:
             # double-f32 value pipeline, decided before planning like
             # spgemm_bucketed (it fixes the planar transport layout)
-            use_df = False
-            if vwords == 2 and config.df32 != "off":
-                if config.df32 == "on":
-                    use_df = True
-                else:
-                    blens = np.diff(np.asarray(B.ptr)).astype(np.int64)
-                    cs = np.concatenate(
-                        [[0], np.cumsum(blens[np.asarray(A.col)])])
-                    aptr = np.asarray(A.ptr)
-                    p_row = cs[aptr[1:]] - cs[aptr[:-1]]
-                    pmax = int(p_row.max()) if p_row.size else 1
-                    use_df = esc_tail_ops.df_range_ok(
-                        A.val, B.val, max(1, pmax))
+            use_df = _decide_df(A, B, config, vwords)
             plan = bucketed_ops.plan_buckets(
                 A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
                 area_cap=config.bucket_area_cap,
@@ -552,6 +551,32 @@ class BlockDenseState:
     plan: blockdense_ops.BlockPlan
 
 
+def prepare_blockdense_state(A: CSR, B: CSR,
+                             config: SpGEMMConfig = DEFAULT_CONFIG
+                             ) -> BlockDenseState:
+    """Host-side planning for the block-dense engine (the ``state=None``
+    branch of :func:`spgemm_blockdense`, exposed for plan warming)."""
+    oz_hint = _ozaki_slices(A, B, config, seg_pairs=1 << 10)
+    plan = blockdense_ops.plan_blockdense(
+        A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
+        max_pairs=_pair_budget(config, ozaki=oz_hint is not None))
+    require(plan is not None, SpGEMMError,
+            "block-dense plan infeasible (empty or >int32 slab); "
+            "use mode='bucketed'")
+    plan.dma_fill = config.dma_fill   # Mosaic extraction gating
+    if oz_hint is not None:
+        # re-certify with the plan's exact max segment length
+        plan.ozaki_slices = _ozaki_slices(
+            A, B, config, seg_pairs=plan.max_seg)
+        plan.ozaki_interpret = (config.ozaki == "interpret")
+        require(plan.ozaki_slices is not None
+                or plan.npairs <= 16384, SpGEMMError,
+                "f64 pair stream exceeds the emulated-f64 budget "
+                "and the Ozaki bound cannot certify 1e-9; "
+                "use mode='bucketed'")
+    return BlockDenseState(plan=plan)
+
+
 def spgemm_blockdense(A: CSR, B: CSR,
                       config: SpGEMMConfig = DEFAULT_CONFIG,
                       timing: Optional[Timing] = None,
@@ -572,25 +597,7 @@ def spgemm_blockdense(A: CSR, B: CSR,
 
     with PhaseTimer.phase(timing, "symbolic_binning"):
         if state is None:
-            oz_hint = _ozaki_slices(A, B, config, seg_pairs=1 << 10)
-            plan = blockdense_ops.plan_blockdense(
-                A.ptr, A.col, B.ptr, B.col, A.M, A.N, B.N,
-                max_pairs=_pair_budget(config, ozaki=oz_hint is not None))
-            require(plan is not None, SpGEMMError,
-                    "block-dense plan infeasible (empty or >int32 slab); "
-                    "use mode='bucketed'")
-            plan.dma_fill = config.dma_fill   # Mosaic extraction gating
-            if oz_hint is not None:
-                # re-certify with the plan's exact max segment length
-                plan.ozaki_slices = _ozaki_slices(
-                    A, B, config, seg_pairs=plan.max_seg)
-                plan.ozaki_interpret = (config.ozaki == "interpret")
-                require(plan.ozaki_slices is not None
-                        or plan.npairs <= 16384, SpGEMMError,
-                        "f64 pair stream exceeds the emulated-f64 budget "
-                        "and the Ozaki bound cannot certify 1e-9; "
-                        "use mode='bucketed'")
-            state = BlockDenseState(plan=plan)
+            state = prepare_blockdense_state(A, B, config)
         plan = state.plan
 
     with PhaseTimer.phase(timing, "mem_alloc"):
