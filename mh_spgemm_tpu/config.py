@@ -116,6 +116,15 @@ class SpGEMMConfig:
     # (reference contract /root/reference/src/CSR.cu:60); "off" keeps
     # emulated f64; "on" forces the split (tests).
     df32: str = "auto"
+    # Wide-gather expansion frontend for XLA-gather row classes
+    # (ops/bucketed.build_words): the B column index and value word(s)
+    # of a nonzero are stored as k consecutive int32 words so ONE
+    # gather index fetches all of them — XLA's TPU gather cost is
+    # per-index, not per-byte (measured scripts/micro_gather.py), so
+    # this collapses the 2-3 separate takes per slot into one.
+    # "auto" = on for gather classes when int32 addressing allows,
+    # "off" = keep the separate takes.
+    wide_gather: str = "auto"
     # f64 block-dense pair-matmul on the MXU via the exact bf16-slice
     # Ozaki decomposition (ops/ozaki.py): "auto" engages it on TPU when
     # the plan-time error bound (ozaki.plan_ozaki_levels) certifies the

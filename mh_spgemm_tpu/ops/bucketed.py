@@ -750,6 +750,52 @@ def pairs_device(b_col: jax.Array, b_val, vwords: int,
     return out.reshape(rows, 128)
 
 
+def words_k(vwords: int) -> int:
+    """Words per B nonzero in the wide-gather operand: column + value
+    word(s), padded to a power of two (2 for f32, 4 for f64/df32)."""
+    return 2 if vwords == 1 else 4
+
+
+def build_words(b_col: np.ndarray, b_val: np.ndarray, vwords: int,
+                df: bool = False) -> Optional[np.ndarray]:
+    """Wide-gather operand for the XLA-gather expansion classes: per B
+    nonzero, ``k`` consecutive int32 words ``[col, value word(s), pad]``
+    in one FLAT array — one gather index fetches the column and the
+    value together.  XLA's TPU gather cost is per-INDEX, not per-byte
+    (measured, scripts/micro_gather.py), so this replaces the frontend's
+    2-3 separate takes per slot with one.  Returns None when int32
+    word addressing would overflow (caller falls back to the takes)."""
+    nnz = b_col.shape[0]
+    k = words_k(vwords)
+    if (nnz + 1) * k >= 2**31:
+        return None
+    w = np.zeros((max(nnz, 1), k), np.int32)
+    w[:nnz, 0] = b_col
+    if nnz:
+        if df:
+            assert vwords == 2 and b_val.dtype == np.float64
+            hi, lo = dekker_split_np(b_val)
+            w[:nnz, 1] = hi.view(np.int32)
+            w[:nnz, 2] = lo.view(np.int32)
+        elif vwords == 1:
+            w[:nnz, 1] = b_val.astype(np.float32).view(np.int32)
+        else:
+            w[:nnz, 1:3] = b_val.view(np.int32).reshape(nnz, 2)
+    return w.reshape(-1)
+
+
+_WG_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+
+
+def _words_gather(words: jax.Array, src: jax.Array, k: int) -> jax.Array:
+    """One k-word slice per index: ``out[i] = words[k*src[i] : +k]``."""
+    return jax.lax.gather(
+        words, (src * np.int32(k))[:, None], _WG_DNUMS,
+        slice_sizes=(k,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Device: 2-D scan helpers (segments never cross row boundaries)
 # ---------------------------------------------------------------------------
@@ -929,16 +975,33 @@ def _product(AV, bv, valid, df: bool):
 
 def _front_gather(ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col,
                   b_val, *, W: int, rb: int, hold_passes: int,
-                  df: bool = False):
-    """Shared XLA-gather expansion frontend: two per-element gathers
-    (the irreducible data movement of this formulation — ~26 ns/slot
-    measured).  Returns (K masked, bv, valid, AV); under ``df`` the
-    value gathers read the two f32 planes of the stacked Dekker split
-    (same bytes as one f64 gather — cost is per byte-access)."""
+                  df: bool = False, b_words=None, wk: int = 0,
+                  vdtype=None):
+    """Shared XLA-gather expansion frontend.
+
+    With ``b_words`` (the wide-gather operand, :func:`build_words`):
+    ONE k-word slice gather per slot fetches column + value words
+    together (~14 ns/slot) — XLA's TPU gather cost is per-index.
+    Without it: 2-3 separate takes (~26 ns/slot measured); under ``df``
+    the value gathers read the two f32 planes of the stacked Dekker
+    split.  Returns (K masked, bv, valid, AV)."""
     src0, valid, AV, off = _expand_seeds(
         ent_dst, ent_src, ent_len, ent_aidx, a_val,
         W=W, rb=rb, hold_passes=hold_passes, df=df)
     src = jnp.where(valid, src0 + off, 0).reshape(-1)
+    if b_words is not None:
+        g = _words_gather(b_words, src, wk)
+        K = jnp.where(valid, g[:, 0].reshape(rb, W), _I32_MAX)
+        bits = jax.lax.bitcast_convert_type
+        if df:
+            bv = (bits(g[:, 1], jnp.float32).reshape(rb, W),
+                  bits(g[:, 2], jnp.float32).reshape(rb, W))
+        elif wk == 2:
+            bv = bits(g[:, 1], jnp.float32).reshape(rb, W).astype(
+                vdtype or jnp.float32)
+        else:                       # raw f64: two little-endian words
+            bv = bits(g[:, 1:3], jnp.float64).reshape(rb, W)
+        return K, bv, valid, AV
     K = jnp.where(valid, b_col[src].reshape(rb, W), _I32_MAX)  # gather #1
     if df:
         bv = (b_val[0][src].reshape(rb, W),                    # gather #2
@@ -951,11 +1014,13 @@ def _front_gather(ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col,
 def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
                a_val, b_col, b_val, *, W: int, rb: int,
                hold_passes: int, seg_passes: int, df: bool = False,
-               tail: str = "off"):
+               tail: str = "off", b_words=None, wk: int = 0,
+               vdtype=None):
     """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
     K, bv, valid, AV = _front_gather(
         ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col, b_val,
-        W=W, rb=rb, hold_passes=hold_passes, df=df)
+        W=W, rb=rb, hold_passes=hold_passes, df=df, b_words=b_words,
+        wk=wk, vdtype=vdtype)
     prod = _product(AV, bv, valid, df)
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
                        W=W, tail=tail)
@@ -1167,11 +1232,12 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("specs", "m", "vdtype", "interpret",
-                                    "df", "tail"))
+                                    "df", "tail", "wk"))
 def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                   specs: Tuple[Tuple[int, ...], ...], m: int,
                   vdtype=None, interpret: bool = False,
-                  df: bool = False, tail: str = "off"):
+                  df: bool = False, tail: str = "off",
+                  b_words=None, wk: int = 0):
     """Whole-matrix main program: every class, every chunk, one dispatch.
 
     Returns (crow_nnz int32[m], cptr int32[m+1], class_totals int64[K],
@@ -1199,7 +1265,7 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
             body = functools.partial(
                 _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
                 W=W, rb=rb, hold_passes=hp, seg_passes=sp, df=df,
-                tail=tail)
+                tail=tail, b_words=b_words, wk=wk, vdtype=vdtype)
         rows_g = arrs[0]
         if nchunks == 1:
             oC, oV, nnz_row = body(*(x[0] for x in arrs))
@@ -1279,7 +1345,8 @@ def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
 
 def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
                  vdtype=None, interpret: bool = False,
-                 df: bool = False, tail: str = "off"):
+                 df: bool = False, tail: str = "off",
+                 b_words=None, wk: int = 0):
     """Dispatch the main program.  Returns (crow, cptr, totals, slabs)."""
     upload_plan(plan)
     specs = tuple(c.spec for c in plan.classes)
@@ -1287,11 +1354,18 @@ def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
         pairs2d = jnp.zeros((1, 128), jnp.int32)
     return bucketed_main(plan.dev, a_val, b_col, b_val, pairs2d,
                          specs=specs, m=plan.m_cap, vdtype=vdtype,
-                         interpret=interpret, df=df, tail=tail)
+                         interpret=interpret, df=df, tail=tail,
+                         b_words=b_words, wk=wk)
 
 
 def needs_pairs(plan: BucketPlan) -> bool:
     return any(c.fill for c in plan.classes)
+
+
+def needs_words(plan: BucketPlan) -> bool:
+    """True when any class runs the XLA-gather frontend (wide-gather
+    operand candidates)."""
+    return any(not c.fill for c in plan.classes)
 
 
 def pairs_wrows_max(plan: BucketPlan) -> int:
@@ -1519,13 +1593,14 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
 
 @functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
                                              "interpret", "nnz_cap",
-                                             "ext_spec", "df", "tail"))
+                                             "ext_spec", "df", "tail",
+                                             "wk"))
 def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
                    slab_row_start, ext_win, ext_runs, *,
                    specs: Tuple[Tuple[int, ...], ...], m: int,
                    vdtype=None, interpret: bool = False,
                    nnz_cap: int = 1, ext_spec=None, df: bool = False,
-                   tail: str = "off"):
+                   tail: str = "off", b_words=None, wk: int = 0):
     """Warm-path program: main stage + extraction traced as ONE dispatch.
 
     Once the first run's totals fetch has fixed ``nnz_cap`` (and the
@@ -1539,7 +1614,7 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
     crow, cptr, totals, slabs = bucketed_main(
         class_arrays, a_val, b_col, b_val, pairs2d,
         specs=specs, m=m, vdtype=vdtype, interpret=interpret, df=df,
-        tail=tail)
+        tail=tail, b_words=b_words, wk=wk)
     if ext_spec is not None:
         ccol, cval = bucketed_extract_mosaic(
             slabs, ext_win, ext_runs, slab_row_start, cptr,
@@ -1554,7 +1629,7 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
 def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
                        pairs2d=None, vdtype=None,
                        interpret: bool = False, df: bool = False,
-                       tail: str = "off"):
+                       tail: str = "off", b_words=None, wk: int = 0):
     """Dispatch the fused warm-path program (requires a warm plan:
     ``plan.nnz_cap`` already learned).  Returns (cptr, ccol, cval)."""
     assert plan.nnz_cap is not None, "fused path needs a warm plan"
@@ -1576,7 +1651,7 @@ def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
         plan.dev, a_val, b_col, b_val, pairs2d, plan.dev_slab_start,
         ext_win, ext_runs, specs=specs, m=plan.m_cap, vdtype=vdtype,
         interpret=interpret, nnz_cap=plan.nnz_cap, ext_spec=ext_spec,
-        df=df, tail=tail)
+        df=df, tail=tail, b_words=b_words, wk=wk)
     if vdtype is not None and jnp.dtype(vdtype) != cval.dtype:
         cval = cval.astype(vdtype)
     return cptr, ccol, cval

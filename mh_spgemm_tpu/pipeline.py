@@ -255,6 +255,8 @@ class BucketedState:
     b_val: object
     b_pairs: object = None      # interleaved fill stream (Mosaic classes)
     df: bool = False            # double-f32 value pipeline (f64 on-device)
+    b_words: object = None      # wide-gather operand (gather classes)
+    wk: int = 0                 # words per nonzero in b_words
 
 
 def _decide_df(A: CSR, B: CSR, config: SpGEMMConfig, vwords: int) -> bool:
@@ -341,6 +343,15 @@ def spgemm_bucketed(A: CSR, B: CSR,
                 state.b_pairs = _jnp.asarray(builder(
                     B.col, B.val.astype(config.vdtype), vwords,
                     bucketed_ops.pairs_wrows_max(plan), df=state.df))
+            if (config.wide_gather != "off" and vwords in (1, 2)
+                    and bucketed_ops.needs_words(plan)):
+                bw = bucketed_ops.build_words(
+                    B.col, B.val.astype(config.vdtype)
+                    if not state.df else B.val.astype(np.float64),
+                    vwords, df=state.df)
+                if bw is not None:
+                    state.b_words = _jnp.asarray(bw)
+                    state.wk = bucketed_ops.words_k(vwords)
             bucketed_ops.upload_plan(plan)
 
     if A.nnz == 0 or B.nnz == 0 or not plan.classes:
@@ -363,7 +374,8 @@ def spgemm_bucketed(A: CSR, B: CSR,
                 plan, state.a_val, state.b_col, state.b_val,
                 state.b_pairs, vdtype=config.vdtype,
                 interpret=(config.dma_fill == "interpret"),
-                df=state.df, tail=tail)
+                df=state.df, tail=tail, b_words=state.b_words,
+                wk=state.wk)
         with PhaseTimer.phase(timing, "numeric"):
             _fence(cval)
         C = DeviceCSR(M=A.M, N=B.N, ptr=cptr, col=ccol, val=cval,
@@ -375,7 +387,7 @@ def spgemm_bucketed(A: CSR, B: CSR,
             plan, state.a_val, state.b_col, state.b_val, state.b_pairs,
             vdtype=config.vdtype,
             interpret=(config.dma_fill == "interpret"), df=state.df,
-            tail=tail)
+            tail=tail, b_words=state.b_words, wk=state.wk)
         if config.profile:
             _fence(main_out[1])        # split main vs extraction exactly
 
