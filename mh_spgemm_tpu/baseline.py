@@ -82,6 +82,50 @@ def timed_oracle_spgemm(A: CSR, B: CSR) -> Tuple[CSR, float]:
     return oracle_spgemm(A, B), ms
 
 
+def torch_spgemm(A: CSR, B: CSR) -> Tuple[CSR, float]:
+    """Third-party CPU engine: torch's sparse-CSR matmul (MKL-backed).
+
+    The reference compares against an independent vendor engine —
+    cuSPARSE (``inc/cusparse_spgemm.cuh:6-106``) plus the vendored
+    baselines under ``other_code/`` — timed under the same clock and
+    checked with ``CSR::operator==`` (``src/main.cu:148-199``).  CUDA
+    engines cannot run here; torch-CPU is the independent
+    vendor-implemented SpGEMM available in this image.  Returns
+    (C as CSR with row-sorted columns, wall ms of the product itself).
+
+    Note torch prunes exact-zero cancellations like scipy does, so
+    differential checks against the pipeline must go through
+    :func:`oracle_spgemm`'s structure alignment — this function is the
+    *timing* baseline and a structure cross-check vs scipy.
+    """
+    import warnings
+
+    import torch
+    warnings.filterwarnings(
+        "ignore", message=".*[Ss]parse.*", category=UserWarning)
+    a = torch.sparse_csr_tensor(
+        torch.from_numpy(A.ptr.astype(np.int64)),
+        torch.from_numpy(A.col.astype(np.int64)),
+        torch.from_numpy(A.val.astype(np.float64)), size=(A.M, A.N))
+    b = torch.sparse_csr_tensor(
+        torch.from_numpy(B.ptr.astype(np.int64)),
+        torch.from_numpy(B.col.astype(np.int64)),
+        torch.from_numpy(B.val.astype(np.float64)), size=(B.M, B.N))
+    _ = a @ b                       # lazy-init / first-call warmup
+    t0 = time.perf_counter()
+    c = a @ b
+    ms = (time.perf_counter() - t0) * 1e3
+    ptr = c.crow_indices().numpy().astype(np.int64)
+    col = c.col_indices().numpy().astype(np.int64)
+    val = c.values().numpy()
+    # torch does not sort columns within rows; the reference contract
+    # (and ours) is ascending columns (src/CSR.cu:48-96)
+    rows = np.repeat(np.arange(A.M, dtype=np.int64), np.diff(ptr))
+    order = np.lexsort((col, rows))
+    return CSR(M=A.M, N=B.N, ptr=ptr.astype(np.int32),
+               col=col[order].astype(np.int32), val=val[order]), ms
+
+
 def verify(C: CSR, C_ref: CSR, tol: float = 1e-9, verbose: bool = True,
            raise_on_fail: bool = True) -> bool:
     """Reference-equivalent check (src/CSR.cu:48-96): exact nnz/ptr/col,

@@ -50,6 +50,8 @@ class BenchResult:
     oracle_ms: Optional[float] = None
     oracle_gflops: Optional[float] = None
     stats: Optional[dict] = None       # engine occupancy counters
+    torch_ms: Optional[float] = None   # torch-cpu vendor engine (--torch)
+    torch_gflops: Optional[float] = None
 
     def as_dict(self) -> dict:
         d = {
@@ -64,6 +66,9 @@ class BenchResult:
         if self.oracle_gflops is not None:
             d["oracle_ms"] = self.oracle_ms
             d["oracle_gflops"] = self.oracle_gflops
+        if self.torch_gflops is not None:
+            d["torch_ms"] = self.torch_ms
+            d["torch_gflops"] = self.torch_gflops
         if self.stats is not None:
             d["stats"] = self.stats
         return d
@@ -73,7 +78,7 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
                iters: int = 3, warmup: int = 2,
                check: bool = False, verbose: bool = True,
                mode: Optional[str] = None,
-               state=None) -> BenchResult:
+               state=None, torch_baseline: bool = False) -> BenchResult:
     """Benchmark C = A @ B (B = A, or A^T under config.aat) on one matrix.
 
     ``mode``/``state`` let a caller that already chose the engine and
@@ -166,6 +171,19 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
             print(f"oracle(scipy): {oracle_ms:.3f}ms, Gflops is "
                   f"{res.oracle_gflops:.2f}")
             print("pass" if res.ok else "error")
+    if torch_baseline:
+        # reference CUSPARSE flag: run the independent vendor engine,
+        # time it under the same protocol, print its GFLOPS
+        # (src/main.cu:148-173); values go through the scipy-aligned
+        # oracle for the differential check since torch prunes exact
+        # cancellations (baseline.torch_spgemm docstring)
+        from ..baseline import torch_spgemm
+        _, torch_ms = torch_spgemm(A, B)
+        res.torch_ms = torch_ms
+        res.torch_gflops = gflops(intprod, torch_ms)
+        if verbose:
+            print(f"torch-cpu: {torch_ms:.3f}ms, Gflops is "
+                  f"{res.torch_gflops:.2f}")
     return res
 
 
@@ -197,6 +215,9 @@ def main(argv=None) -> int:
                    help="append GFLOPS to CSV (WRITE flag)")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per matrix")
+    p.add_argument("--torch", action="store_true",
+                   help="also run+time torch-cpu sparse CSR matmul (the "
+                        "CUSPARSE-flag analogue, src/main.cu:148-173)")
     p.add_argument("--stats", action="store_true",
                    help="print engine occupancy counters (the "
                         "HASH_CONFLICT-counter analogue)")
@@ -228,7 +249,8 @@ def main(argv=None) -> int:
                 A = suites.load_matrix(name)
                 label = name
             res = run_matrix(A, label, config, iters=args.iters,
-                             check=args.check, verbose=not args.json)
+                             check=args.check, verbose=not args.json,
+                             torch_baseline=args.torch)
             if args.json:
                 print(json.dumps(res.as_dict()))
             if args.stats and res.stats is not None:
