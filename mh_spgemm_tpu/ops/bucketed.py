@@ -1300,25 +1300,48 @@ def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int,
     same bytes as one f64 gather and the combine to f64 happens once on
     the nnz-sized output.
     """
-    parts_c = [oC.reshape(-1) for oC, _, _ in slabs]
-    # single class: gather straight from the slab, no concat copy
-    flat_c = parts_c[0] if len(parts_c) == 1 else jnp.concatenate(parts_c)
     src = _slab_src(slab_row_start, cptr, m, nnz_cap)
     j = jnp.arange(nnz_cap, dtype=jnp.int32)
     ok = j < cptr[m]
-    src = jnp.clip(jnp.where(ok, src, 0), 0, flat_c.shape[0] - 1)
-    ccol = jnp.where(ok, flat_c[src], 0)
-    if df:
-        parts_h = [oV[:, 0].reshape(-1) for _, oV, _ in slabs]
-        parts_l = [oV[:, 1].reshape(-1) for _, oV, _ in slabs]
-        flat_h = parts_h[0] if len(parts_h) == 1 else \
-            jnp.concatenate(parts_h)
-        flat_l = parts_l[0] if len(parts_l) == 1 else \
-            jnp.concatenate(parts_l)
-        z = jnp.float32(0)
-        cval = (jnp.where(ok, flat_h[src], z).astype(jnp.float64)
-                + jnp.where(ok, flat_l[src], z).astype(jnp.float64))
+    bits = jax.lax.bitcast_convert_type
+    area = sum(int(np.prod(oC.shape)) for oC, _, _ in slabs)
+    src = jnp.clip(jnp.where(ok, src, 0), 0, area - 1)
+    if df or slabs[0][1].dtype == jnp.float32:
+        # wide extraction: interleave each slab into k-word records
+        # (col, value word(s)) so ONE slice gather per output nonzero
+        # fetches everything — XLA's TPU gather cost is per-index
+        # (scripts/micro_gather.py), so this beats the 2-3 separate
+        # per-plane gathers the planar layout would need.  The
+        # interleave itself is one streaming copy of the slab area.
+        def rec(oC, oV):
+            c = oC.reshape(-1)
+            if df:
+                ws = (c, bits(oV[:, 0].reshape(-1), jnp.int32),
+                      bits(oV[:, 1].reshape(-1), jnp.int32),
+                      jnp.zeros_like(c))
+            else:
+                ws = (c, bits(oV.reshape(-1), jnp.int32))
+            return jnp.stack(ws, axis=-1)
+        parts_w = [rec(oC, oV) for oC, oV, _ in slabs]
+        flat_w = (parts_w[0] if len(parts_w) == 1
+                  else jnp.concatenate(parts_w)).reshape(-1)
+        k = 4 if df else 2
+        g = _words_gather(flat_w, src, k)
+        ccol = jnp.where(ok, g[:, 0], 0)
+        if df:
+            z = jnp.float32(0)
+            cval = (jnp.where(ok, bits(g[:, 1], jnp.float32), z)
+                    .astype(jnp.float64)
+                    + jnp.where(ok, bits(g[:, 2], jnp.float32), z)
+                    .astype(jnp.float64))
+        else:
+            cval = jnp.where(ok, bits(g[:, 1], jnp.float32),
+                             jnp.float32(0))
         return ccol, cval
+    parts_c = [oC.reshape(-1) for oC, _, _ in slabs]
+    # single class: gather straight from the slab, no concat copy
+    flat_c = parts_c[0] if len(parts_c) == 1 else jnp.concatenate(parts_c)
+    ccol = jnp.where(ok, flat_c[src], 0)
     parts_v = [oV.reshape(-1) for _, oV, _ in slabs]
     flat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v)
     cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))

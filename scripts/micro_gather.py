@@ -115,6 +115,31 @@ def main():
     timed(lambda s, f: slice_gather(s, f, 16), (src, flat4),
           "lax.gather flat slice k=16", S)
 
+    # scatter side (the _expand_seeds cost model): ne seed scatters into
+    # an RW-sized chunk buffer — measured per scatter-index, and as the
+    # 5-scatter seed group the expansion frontend actually performs
+    RW = S
+    ne = S // 2              # ~2 slots per entry (short-span class shape)
+    dst_h = np.sort(rng.choice(RW, size=ne, replace=False)).astype(np.int32)
+    dst = jnp.asarray(dst_h)
+    vals = jnp.asarray(rng.integers(0, 1 << 20, ne).astype(np.int32))
+    timed(lambda d, v: (jnp.zeros((RW,), jnp.int32)
+                        .at[d].set(v, mode="drop"),),
+          (dst, vals), f"1 scatter i32 ({ne} idx, sorted)", ne)
+    timed(lambda d, v: tuple(jnp.zeros((RW,), jnp.int32)
+                             .at[d].set(v + i, mode="drop")
+                             for i in range(5)),
+          (dst, vals), f"5 scatters i32 (seed group, {ne} idx)", ne)
+    rows16 = jnp.asarray(
+        rng.integers(0, 1 << 20, (ne, 16)).astype(np.int32))
+    timed(lambda d, r: (jnp.zeros((RW, 16), jnp.int32)
+                        .at[d].set(r, mode="drop"),),
+          (dst, rows16), f"1 row scatter [ne,16] ({ne} idx)", ne)
+    # cumsum over the chunk (the _slab_src / entry-id pattern)
+    big = jnp.asarray(rng.integers(0, 3, RW).astype(np.int32))
+    timed(lambda s, b: (jnp.cumsum(b + (s[:1] & 0)),), (src, big),
+          f"cumsum i32 over {RW}", RW)
+
 
 if __name__ == "__main__":
     main()
