@@ -52,6 +52,7 @@ class BenchResult:
     stats: Optional[dict] = None       # engine occupancy counters
     torch_ms: Optional[float] = None   # torch-cpu vendor engine (--torch)
     torch_gflops: Optional[float] = None
+    digest: Optional[dict] = None      # device result digest (baseline.py)
 
     def as_dict(self) -> dict:
         d = {
@@ -78,7 +79,8 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
                iters: int = 3, warmup: int = 2,
                check: bool = False, verbose: bool = True,
                mode: Optional[str] = None,
-               state=None, torch_baseline: bool = False) -> BenchResult:
+               state=None, torch_baseline: bool = False,
+               digest: bool = False) -> BenchResult:
     """Benchmark C = A @ B (B = A, or A^T under config.aat) on one matrix.
 
     ``mode``/``state`` let a caller that already chose the engine and
@@ -155,13 +157,20 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
             res.stats["ns_per_product"] = round(
                 total_ms * 1e6 / intprod, 2)
             # roofline bound per slot: ~4 ns with the Mosaic ragged fill
-            # (run + step overheads at measured merge factors), ~26 ns on
-            # the XLA gather path — NOT the hardware DMA bound (~0.06),
-            # which a fully fused engine could still chase
+            # (run + step overheads at measured merge factors), ~5 ns on
+            # the XLA takes path (re-measured 2026-08-20,
+            # scripts/micro_gather2.py) — NOT the hardware DMA bound
+            # (~0.06), which a fully fused engine could still chase
             any_fill = any(getattr(c, "fill", False)
                            for c in getattr(state.plan, "classes", []))
             res.stats["floor_ns_per_product"] = (
-                4 if any_fill else 26) if mode != "blockdense" else None
+                4 if any_fill else 5) if mode != "blockdense" else None
+    if digest:
+        # same-run verification evidence without a full D2H: five scalars
+        # (structure hash sums + weighted value sum) the bench compares
+        # against the cached oracle digest (baseline.digest_device)
+        from ..baseline import digest_device
+        res.digest = digest_device(C)
     if check:
         C_ref, oracle_ms = timed_oracle_spgemm(A, B)
         res.oracle_ms = oracle_ms

@@ -125,6 +125,16 @@ class SpGEMMConfig:
     # "auto" = on for gather classes when int32 addressing allows,
     # "off" = keep the separate takes.
     wide_gather: str = "auto"
+    # Grouped slice-gather for SHORT-SPAN gather classes (the
+    # tiny-row/pwarp-bin specialization of the reference,
+    # inc/binning.cuh:1-65, inc/numeric.cuh:66-214): the planner pads
+    # every A-entry's slab span to a multiple of G and the frontend
+    # issues ONE G*k-word slice gather per aligned G-block — ~G x fewer
+    # gather indices on span-2-3 plans (scircuit, mac_econ, webbase...)
+    # for (G-1)/2 padding slots per entry.  "auto" = planner cost model
+    # picks G per class; "off" disables (G=1 everywhere).  Requires the
+    # wide-gather operand; no effect when wide_gather="off".
+    group_gather: str = "auto"
     # f64 block-dense pair-matmul on the MXU via the exact bf16-slice
     # Ozaki decomposition (ops/ozaki.py): "auto" engages it on TPU when
     # the plan-time error bound (ozaki.plan_ozaki_levels) certifies the

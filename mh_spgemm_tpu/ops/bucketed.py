@@ -66,12 +66,27 @@ from .shapes import quantize
 
 _I32_MAX = np.int32(2**31 - 1)
 
-# Measured v5e constants driving the per-class fill-vs-gather choice
-# (scripts/micro2.py, micro3.py): XLA expansion ~26-27 ns/slot warm
-# (two per-element gathers); the Mosaic fill costs ~1.7 us per grid
-# step, ~0.4 us per run (scalar setup + block walk), and ~2 ns/slot of
-# vector work.  The planner compares the two estimates per class.
-_GATHER_NS_PER_SLOT = 26.0
+# Measured v5e constants driving the per-class fill-vs-gather choice:
+# the XLA takes-path expansion costs ~3.3-5 ns/slot (re-measured
+# 2026-08-20 with full-output consumption, scripts/micro_gather2.py —
+# the earlier 26-27 ns figure came from a slower XLA gather lowering);
+# the Mosaic fill costs ~1.7 us per grid step, ~0.4 us per run (scalar
+# setup + block walk), and ~2 ns/slot of vector work.  The planner
+# compares the two estimates per class.  Env-overridable for A/B runs.
+_GATHER_NS_PER_SLOT = float(os.environ.get("MHSPGEMM_GATHER_NS", "5.0"))
+# Grouped slice-gather (scripts/micro_group_gather.py): the short-span
+# specialization candidate — G-align entry spans so one G*k-word slice
+# gather feeds G slots (the reference's tiny-row/pwarp bins,
+# inc/binning.cuh:1-65, inc/numeric.cuh:66-214, rebuilt as slot-packing
+# geometry).  MEASURED on this chip (2026-08-20): XLA's gather is fast
+# ONLY for slices <= 4 words (~3-4 ns/idx) and falls off a cliff at
+# >= 8 words (~213 ns/idx, a serial lowering), so grouping never wins
+# here and the cost model below keeps G=1 throughout.  The machinery
+# stays: a backend whose wide slices are cheap flips these constants.
+_GROUP_IDX_NS = {1: 4.0, 2: 213.0, 4: 141.0, 8: 138.0}
+_GROUP_TAIL_NS = 3.0
+_GROUP_CANDS = (1, 2, 4, 8)
+_WORDS_PAD = max(_GROUP_CANDS)   # over-read slack products in build_words
 _FILL_STEP_US = 1.7
 _FILL_RUN_US = 0.4
 _FILL_NS_PER_SLOT = 2.0
@@ -119,13 +134,18 @@ class ClassPlan:
     win_row: Optional[np.ndarray] = None  # int32[nchunks, S, 2]
     runs: Optional[np.ndarray] = None     # int32[nchunks, S, EPG, 3]
     row_len: Optional[np.ndarray] = None  # int32[nchunks, rb] products/row
+    # Grouped slice-gather frontend (short-span specialization): every
+    # entry's slab span is padded to a multiple of G, so ONE G*k-word
+    # slice gather per aligned G-block feeds G slots (G=1 = plain wide
+    # gather).  W % G == 0 by construction.
+    G: int = 1
 
     @property
     def spec(self) -> Tuple[int, ...]:
         return (self.W, self.rb, self.nchunks, self.eb,
                 self.hold_passes, self.seg_passes,
                 self.fill, self.stride, self.wrows, self.out_rows,
-                self.planar)
+                self.planar, self.G)
 
 
 @dataclasses.dataclass
@@ -182,7 +202,10 @@ class BucketPlan:
                 {"W": c.W, "chunks": c.nchunks, "rows_per_chunk": c.rb,
                  "rows": int((c.rows_g >= 0).sum()),
                  "entry_cap": c.eb, "hold_passes": c.hold_passes,
-                 "seg_passes": c.seg_passes, "fill": c.fill}
+                 "seg_passes": c.seg_passes, "fill": c.fill, "G": c.G,
+                 "frontend": ("fill" if c.fill
+                              else f"grouped{c.G}" if c.G > 1
+                              else "gather")}
                 for c in self.classes
             ],
         }
@@ -346,7 +369,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  b_lens: Optional[np.ndarray] = None,
                  forced: Optional[dict] = None,
                  planar: bool = False,
-                 pow2_fill_widths: bool = False
+                 pow2_fill_widths: bool = False,
+                 group: str = "off"
                  ) -> BucketPlan:
     """Bin rows by product count into power-of-two width classes and build
     per-chunk A-entry descriptors (vectorized numpy; cached per (A, B)).
@@ -390,7 +414,6 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     # — halves worst-case slot padding (the dominant per-slot cost is the
     # two gathers, paid on padded slots too) at the cost of ~2x classes
     p = p_row[active]
-    wclass = _width_class(p, min_width)
     a_row_nnz = np.diff(a_ptr)
     # per-row count of entries referencing NONEMPTY B rows (descriptor
     # counts; used by the native builder's capacity sizing)
@@ -400,18 +423,6 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     from ..utils import native as native_lib
 
     stride = 1 + vwords
-    if pow2_fill_widths and active.size:
-        # rows headed for fill classes (long average B spans): round the
-        # width class up to a power of two so the fused Mosaic ESC tail
-        # (pow2 bitonic segments, ops/esc_tail.py) engages — the tail
-        # saving beats the <=1.33x extra slot padding on the ~2 ns/slot
-        # fill path, but not on the ~26 ns/slot gather path, so short-
-        # span rows keep the 1.5x grid
-        avg_words = p * stride / np.maximum(1, row_vcnt[active])
-        bump = avg_words >= _FILL_MIN_SPAN_WORDS
-        wclass = np.where(
-            bump, 2 ** np.ceil(np.log2(np.maximum(1, wclass))).astype(
-                np.int64), wclass)
     fill_force = dma_fill in ("on", "interpret")
     fill_ok = (dma_fill in ("auto", "on", "interpret")
                and vwords in (1, 2)
@@ -419,6 +430,60 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                        if b_starts.size else 0) * stride < 2**31
                and (rf.on_tpu() or dma_fill == "interpret"))
     fill_slot_cap = _FILL_WORDS_CAP // stride
+
+    # ---- short-span grouped-gather decision — the tiny-row/pwarp-bin
+    # specialization (reference inc/binning.cuh:1-65,
+    # inc/numeric.cuh:66-214) rebuilt as packing geometry: pad every
+    # entry's slab span to a multiple of G so ONE G*k-word slice gather
+    # per aligned G-block feeds G slots.  One aggregate-cost G (plus
+    # G=1) keeps the class count bounded; a per-row argmin would
+    # fragment the width grid.
+    G_row = np.ones(p.size, dtype=np.int64)
+    p_eff = p
+    avg_words = (p * stride / np.maximum(1, row_vcnt[active])
+                 if p.size else np.zeros(0))
+    k_words = 2 if vwords == 1 else 4
+    group_ok = (group != "off" and forced is None and p.size > 0
+                and vwords in (1, 2)
+                and (int(b_starts.max() + b_lens.max()
+                         if b_starts.size else 0)
+                     + _WORDS_PAD) * k_words < 2**31)
+    if group_ok:
+        idx_c = {}
+        for G in _GROUP_CANDS:
+            ce = -(-p_ent // G)
+            cs1 = np.concatenate([[0], np.cumsum(ce)])
+            idx_c[G] = (cs1[a_ptr[1:]] - cs1[a_ptr[:-1]])[active]
+
+        def _gcost(G):
+            return idx_c[G] * (_GROUP_IDX_NS[G] + G * _GROUP_TAIL_NS)
+
+        # rows the fill path will take keep G=1 (fill beats any gather)
+        short = (avg_words < _FILL_MIN_SPAN_WORDS if fill_ok
+                 else np.ones(p.size, bool))
+        best_g, best_agg = 1, float(_gcost(1)[short].sum())
+        for G in _GROUP_CANDS[1:]:
+            agg = float(_gcost(G)[short].sum())
+            if agg < best_agg:
+                best_agg, best_g = agg, G
+        if best_g > 1:
+            gwin = short & (_gcost(best_g) < _gcost(1))
+            G_row = np.where(gwin, np.int64(best_g), np.int64(1))
+            p_eff = np.where(gwin, idx_c[best_g] * best_g, p)
+
+    wclass = _width_class(p_eff, min_width)
+    wclass = -(-wclass // G_row) * G_row            # W % G == 0
+    if pow2_fill_widths and active.size:
+        # rows headed for fill classes (long average B spans): round the
+        # width class up to a power of two so the fused Mosaic ESC tail
+        # (pow2 bitonic segments, ops/esc_tail.py) engages — the tail
+        # saving beats the <=1.33x extra slot padding on the ~2 ns/slot
+        # fill path, but not on the ~26 ns/slot gather path, so short-
+        # span rows keep the 1.5x grid
+        bump = avg_words >= _FILL_MIN_SPAN_WORDS
+        wclass = np.where(
+            bump, 2 ** np.ceil(np.log2(np.maximum(1, wclass))).astype(
+                np.int64), wclass)
 
     if forced is not None and active.size:
         # a union spec's width set may be sparser than this shard's
@@ -441,25 +506,32 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         # below the fixed cost.  Per-slot cost: ~4 ns on the Mosaic fill
         # path, ~26 ns on the XLA gather path (bench/driver.py roofline).
         merge_ns = float(os.environ.get("MHSPGEMM_CLASS_MERGE_NS", "1e6"))
-        widths_u = sorted(int(w) for w in np.unique(wclass))
-        span = p * stride / np.maximum(1, row_vcnt[active])
-        for i, w in enumerate(widths_u[:-1]):
-            sel = wclass == w
-            nxt = widths_u[i + 1]
-            if nxt > fill_slot_cap >= w:
-                continue        # don't push a fill-capable class past cap
-            rows_n = int(sel.sum())
-            fillish = (fill_ok and nxt <= fill_slot_cap
-                       and float(span[sel].mean()) >=
-                       _FILL_MIN_SPAN_WORDS)
-            slot_ns = 4.0 if fillish else 26.0
-            if rows_n * (nxt - w) * slot_ns < merge_ns:
-                wclass[sel] = nxt
+        span = avg_words
+        for G in sorted(set(int(g) for g in np.unique(G_row))):
+            widths_u = sorted(int(w) for w in
+                              np.unique(wclass[G_row == G]))
+            for i, w in enumerate(widths_u[:-1]):
+                sel = (wclass == w) & (G_row == G)
+                nxt = widths_u[i + 1]
+                if nxt > fill_slot_cap >= w:
+                    continue    # don't push a fill-capable class past cap
+                rows_n = int(sel.sum())
+                fillish = (fill_ok and G == 1 and nxt <= fill_slot_cap
+                           and float(span[sel].mean()) >=
+                           _FILL_MIN_SPAN_WORDS)
+                slot_ns = (4.0 if fillish
+                           else _GROUP_IDX_NS[G] / G + _GROUP_TAIL_NS
+                           if G > 1 else _GATHER_NS_PER_SLOT)
+                if rows_n * (nxt - w) * slot_ns < merge_ns:
+                    wclass[sel] = nxt
 
-    widths = sorted(set(int(w) for w in np.unique(wclass))
-                    | set(forced or ()))
-    for W in widths:
-        rows_c = active[wclass == int(W)] if active.size else \
+    keys = (sorted(set(zip(wclass.tolist(), G_row.tolist())))
+            if active.size else [])
+    keys = sorted(set(keys) | {(int(w), 1) for w in (forced or ())})
+    for W, G in keys:
+        sel = (((wclass == int(W)) & (G_row == int(G)))
+               if active.size else np.zeros(0, bool))
+        rows_c = active[sel] if active.size else \
             np.zeros(0, np.int32)                           # original order
         cand = False
         fill_forced = False
@@ -470,8 +542,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             fill_forced = bool(forced[W][3]) and fill_ok \
                 and W <= fill_slot_cap
             cand = fill_forced
-        elif fill_ok and W <= fill_slot_cap:
-            pc = int(p[wclass == int(W)].sum())
+        elif fill_ok and G == 1 and W <= fill_slot_cap:
+            pc = int(p[sel].sum())
             ec = int(row_vcnt[rows_c].sum())
             cand = fill_force or (pc * stride / max(1, ec)
                                   >= _FILL_MIN_SPAN_WORDS)
@@ -506,7 +578,7 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         # the vectorized numpy path below
         ent = (native_lib.bucket_entries(a_ptr, a_col, b_ptr, rows_c,
                                          rb, int(W), eb_n, nchunks)
-               if csr_layout else None)
+               if csr_layout and G == 1 else None)
         if ent is not None:
             classes.append(ClassPlan(
                 W=int(W), rb=rb, nchunks=nchunks, eb=eb_n,
@@ -528,12 +600,15 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         pe = p_ent[ent_e]
         keep = pe > 0
         ent_e, local_row, pe = ent_e[keep], local_row[keep], pe[keep]
-        # exclusive cumsum of pe within each row
-        pc = np.cumsum(pe)
+        # exclusive cumsum of pe within each row; grouped classes pad
+        # every entry's span to a multiple of G so each aligned G-block
+        # of slots is fed by one G*k-word slice gather
+        pe_eff = (-(-pe // G) * G) if G > 1 else pe
+        pc = np.cumsum(pe_eff)
         row_first = np.concatenate([[True], local_row[1:] != local_row[:-1]])
         row_base = np.maximum.accumulate(
-            np.where(row_first, pc - pe, 0))
-        off = pc - pe - row_base
+            np.where(row_first, pc - pe_eff, 0))
+        off = pc - pe_eff - row_base
 
         chunk = local_row // rb
         slot = local_row - chunk * rb
@@ -566,6 +641,7 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             # cache per matrix — compile reuse wins on this backend
             hold_passes=_log2_bound(W),
             seg_passes=_log2_bound(W),
+            G=int(G),
         ))
         if cand:
             _attach_fill_plan(classes[-1], stride,
@@ -624,9 +700,9 @@ def estimate_cost_s(a_ptr: np.ndarray, a_col: np.ndarray,
         avg_words = p[sel].sum() * stride / max(1, vc[sel].sum())
         fill = (fill_possible and W <= _FILL_WORDS_CAP // stride
                 and avg_words >= _FILL_MIN_SPAN_WORDS)
-        # measured end-to-end main-stage rates (cant: 10.2 ns/slot with
-        # the fill, ~27 on the gather path)
-        per_slot = 10.0 if fill else _GATHER_NS_PER_SLOT
+        # measured end-to-end main-stage rates: fill ~10 ns/slot (cant,
+        # r3); gather path = takes frontend + seeds/tail vector work
+        per_slot = 10.0 if fill else _GATHER_NS_PER_SLOT + 5.0
         total += slots * per_slot * 1e-9
     return total * 1.3
 
@@ -767,9 +843,11 @@ def build_words(b_col: np.ndarray, b_val: np.ndarray, vwords: int,
     word addressing would overflow (caller falls back to the takes)."""
     nnz = b_col.shape[0]
     k = words_k(vwords)
-    if (nnz + 1) * k >= 2**31:
+    if (nnz + 1 + _WORDS_PAD) * k >= 2**31:
         return None
-    w = np.zeros((max(nnz, 1), k), np.int32)
+    # _WORDS_PAD zero products of tail slack: a grouped G*k-word slice
+    # anchored at the last real product stays in bounds
+    w = np.zeros((max(nnz, 1) + _WORDS_PAD, k), np.int32)
     w[:nnz, 0] = b_col
     if nnz:
         if df:
@@ -788,10 +866,13 @@ _WG_DNUMS = jax.lax.GatherDimensionNumbers(
     offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
 
 
-def _words_gather(words: jax.Array, src: jax.Array, k: int) -> jax.Array:
-    """One k-word slice per index: ``out[i] = words[k*src[i] : +k]``."""
+def _words_gather(words: jax.Array, src: jax.Array, k: int,
+                  scale: Optional[int] = None) -> jax.Array:
+    """One k-word slice per index: ``out[i] = words[scale*src[i] : +k]``
+    (``scale`` defaults to ``k``; grouped gathers read ``G*wk`` words
+    from a ``wk``-word-per-product operand)."""
     return jax.lax.gather(
-        words, (src * np.int32(k))[:, None], _WG_DNUMS,
+        words, (src * np.int32(scale or k))[:, None], _WG_DNUMS,
         slice_sizes=(k,),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
@@ -976,19 +1057,41 @@ def _product(AV, bv, valid, df: bool):
 def _front_gather(ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col,
                   b_val, *, W: int, rb: int, hold_passes: int,
                   df: bool = False, b_words=None, wk: int = 0,
-                  vdtype=None):
+                  vdtype=None, G: int = 1):
     """Shared XLA-gather expansion frontend.
 
     With ``b_words`` (the wide-gather operand, :func:`build_words`):
     ONE k-word slice gather per slot fetches column + value words
     together (~14 ns/slot) — XLA's TPU gather cost is per-index.
-    Without it: 2-3 separate takes (~26 ns/slot measured); under ``df``
-    the value gathers read the two f32 planes of the stacked Dekker
-    split.  Returns (K masked, bv, valid, AV)."""
+    With ``G > 1`` (grouped classes: every entry span G-aligned by the
+    planner), one G*k-word slice gather per aligned G-block feeds G
+    slots — the short-span specialization, ~G x fewer gather indices.
+    Without ``b_words``: 2-3 separate takes (~26 ns/slot measured);
+    under ``df`` the value gathers read the two f32 planes of the
+    stacked Dekker split.  Returns (K masked, bv, valid, AV)."""
     src0, valid, AV, off = _expand_seeds(
         ent_dst, ent_src, ent_len, ent_aidx, a_val,
         W=W, rb=rb, hold_passes=hold_passes, df=df)
     src = jnp.where(valid, src0 + off, 0).reshape(-1)
+    if b_words is not None and G > 1:
+        # block leaders: slots at in-row positions == 0 (mod G).  The
+        # planner G-aligns entry starts, so a block's G slots are G
+        # consecutive products of ONE entry (holes masked by ``valid``);
+        # the leader is always a real product when the block has any.
+        srcL = src.reshape(rb * W // G, G)[:, 0]
+        g = _words_gather(b_words, srcL, G * wk, scale=wk)
+        g = g.reshape(rb * W, wk)
+        K = jnp.where(valid, g[:, 0].reshape(rb, W), _I32_MAX)
+        bits = jax.lax.bitcast_convert_type
+        if df:
+            bv = (bits(g[:, 1], jnp.float32).reshape(rb, W),
+                  bits(g[:, 2], jnp.float32).reshape(rb, W))
+        elif wk == 2:
+            bv = bits(g[:, 1], jnp.float32).reshape(rb, W).astype(
+                vdtype or jnp.float32)
+        else:                       # raw f64: two little-endian words
+            bv = bits(g[:, 1:3], jnp.float64).reshape(rb, W)
+        return K, bv, valid, AV
     if b_words is not None:
         g = _words_gather(b_words, src, wk)
         K = jnp.where(valid, g[:, 0].reshape(rb, W), _I32_MAX)
@@ -1015,12 +1118,12 @@ def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
                a_val, b_col, b_val, *, W: int, rb: int,
                hold_passes: int, seg_passes: int, df: bool = False,
                tail: str = "off", b_words=None, wk: int = 0,
-               vdtype=None):
+               vdtype=None, G: int = 1):
     """One [rb, W] chunk: expand, multiply, sort, accumulate, left-pack."""
     K, bv, valid, AV = _front_gather(
         ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col, b_val,
         W=W, rb=rb, hold_passes=hold_passes, df=df, b_words=b_words,
-        wk=wk, vdtype=vdtype)
+        wk=wk, vdtype=vdtype, G=G)
     prod = _product(AV, bv, valid, df)
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
                        W=W, tail=tail)
@@ -1150,6 +1253,10 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
     def shard_csr(d):
         if bounds is None:
             lo, hi = min(d * R, m), min((d + 1) * R, m)
+        elif getattr(bounds, "ndim", 1) == 2:
+            # explicit (lo, hi) per shard — the 2-D grid strategy maps
+            # virtual shard r*Dc+c to row range r (ranges may repeat)
+            lo, hi = int(bounds[d][0]), int(bounds[d][1])
         else:       # work-balanced partition: explicit owned row ranges
             lo, hi = int(bounds[d]), int(bounds[d + 1])
         ptr = (a_ptr[lo:hi + 1] - a_ptr[lo]).astype(a_ptr.dtype)
@@ -1253,7 +1360,7 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
     slabs = []
     totals = []
     for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-         out_rows, planar), arrs in zip(specs, class_arrays):
+         out_rows, planar, grp), arrs in zip(specs, class_arrays):
         if fill:
             body = functools.partial(
                 _chunk_fill, a_val=a_val, pairs2d=pairs2d, W=W, rb=rb,
@@ -1265,7 +1372,8 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
             body = functools.partial(
                 _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
                 W=W, rb=rb, hold_passes=hp, seg_passes=sp, df=df,
-                tail=tail, b_words=b_words, wk=wk, vdtype=vdtype)
+                tail=tail, b_words=b_words, wk=wk, vdtype=vdtype,
+                G=grp)
         rows_g = arrs[0]
         if nchunks == 1:
             oC, oV, nnz_row = body(*(x[0] for x in arrs))

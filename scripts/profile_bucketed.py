@@ -76,7 +76,7 @@ def profile(name: str) -> None:
         def prog(class_arrays, a_val, b_col, b_val, b_words):
             acc = jnp.zeros((), jnp.float32)
             for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-                 out_rows, planar), arrs in zip(specs, class_arrays):
+                 out_rows, planar, grp), arrs in zip(specs, class_arrays):
                 if fill:
                     continue  # fill classes profiled separately
 
@@ -93,7 +93,7 @@ def profile(name: str) -> None:
                         b_col, b_val, W=W, rb=rb, hold_passes=hp,
                         df=df, b_words=b_words,
                         wk=state.wk if b_words is not None else 0,
-                        vdtype=jnp.float64)
+                        vdtype=jnp.float64, G=grp)
                     if depth == "front":
                         b0 = bv[0] if df else bv
                         return jnp.sum(K).astype(jnp.float32) + jnp.sum(b0)

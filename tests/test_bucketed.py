@@ -144,13 +144,15 @@ def test_chunked_single_huge_row():
 # ---------------------------------------------------------------------------
 
 def _check_wide(A, dtype, bitexact=True, **cfg_kw):
+    # "on" forces the wide operand; "auto" resolves to the takes path
+    # on this backend (re-measured 2026-08-20, scripts/micro_gather2.py)
     from mh_spgemm_tpu.pipeline import spgemm_bucketed
     outs = []
-    for wg in ("off", "auto"):
+    for wg in ("off", "on"):
         cfg = SpGEMMConfig(mode="bucketed", value_dtype=dtype,
                            dma_fill="off", wide_gather=wg, **cfg_kw)
         C, state = spgemm_bucketed(A, A, config=cfg)
-        if wg == "auto":   # operand must actually be in play
+        if wg == "on":   # operand must actually be in play
             assert state.b_words is not None and state.wk in (2, 4)
         outs.append(C.host())
     ref = oracle_spgemm(A, A)
@@ -183,12 +185,37 @@ def test_wide_gather_df32():
 
 def test_wide_gather_overflow_guard():
     """nnz*k near 2**31 returns None -> caller keeps the takes path."""
-    from mh_spgemm_tpu.ops.bucketed import build_words
+    from mh_spgemm_tpu.ops.bucketed import _WORDS_PAD, build_words
     col = np.zeros(4, np.int32)
     val = np.ones(4, np.float64)
     w = build_words(col, val, 2)
-    assert w is not None and w.shape == (16,)
+    # +_WORDS_PAD zero products of tail slack for grouped G*k slices
+    assert w is not None and w.shape == ((4 + _WORDS_PAD) * 4,)
     big = np.zeros(2**29, np.int32)       # (2**29+1)*4 >= 2**31
     assert build_words(big, big.view(np.float32), 2, df=True) is None \
         or True  # df needs f64; guard checked via direct size math below
     assert (2**29 + 1) * 4 >= 2**31
+
+
+def test_grouped_gather_forced(monkeypatch):
+    """Grouped slice-gather frontend (G>1): G-aligned entry packing +
+    one G*k-word slice per aligned block.  The measured cost model keeps
+    G=1 on this backend (slices >= 8 words hit a serial lowering,
+    scripts/micro_gather2.py), so the test tips the constants to force
+    G>1 and verifies correctness end to end."""
+    from mh_spgemm_tpu.ops import bucketed as bk
+    from mh_spgemm_tpu.pipeline import spgemm_bucketed
+    monkeypatch.setitem(bk._GROUP_IDX_NS, 1, 500.0)
+    A = gen.powerlaw(400, avg_nnz=6, seed=41)
+    cfg = SpGEMMConfig(mode="bucketed", value_dtype="float64",
+                       dma_fill="off")
+    C, state = spgemm_bucketed(A, A, config=cfg)
+    gs = [c.G for c in state.plan.classes]
+    assert any(g > 1 for g in gs), f"grouping never engaged: {gs}"
+    assert state.b_words is not None
+    for c in state.plan.classes:
+        if c.G > 1:
+            live = c.ent_len > 0
+            assert ((c.ent_dst[live] % c.G) == 0).all()
+            assert c.W % c.G == 0
+    assert verify(C.host(), oracle_spgemm(A, A), raise_on_fail=False)

@@ -246,9 +246,12 @@ def test_dist_mosaic_fill_state_reuse_and_uneven():
 
 
 @pytest.mark.parametrize("n", [4, 8])
-def test_dist_ragged_overlap_matches_oracle(n):
+def test_dist_ragged_overlap_matches_oracle(n, monkeypatch):
     """Overlapped ragged path: local-only rows compute while the halo
-    exchange is in flight; halo rows follow (SURVEY.md §5.8)."""
+    exchange is in flight; halo rows follow (SURVEY.md §5.8).  Forced:
+    on a CPU mesh the plan-time model correctly prefers plain ragged
+    (no second execution resource), and the kernel must stay tested."""
+    monkeypatch.setenv("MHSPGEMM_FORCE_OVERLAP", "1")
     mesh = _mesh(n)
     for A in (gen.banded(120, band=9, nnz_per_row=5, seed=21),
               gen.powerlaw(300, avg_nnz=5, seed=22),
@@ -257,10 +260,11 @@ def test_dist_ragged_overlap_matches_oracle(n):
         assert C.equals(oracle_spgemm(A, A), tol=1e-9)
 
 
-def test_dist_ragged_overlap_mosaic_fill():
+def test_dist_ragged_overlap_mosaic_fill(monkeypatch):
     """Overlap path with the fill frontend on BOTH stages: stage 1's
     pairs stream is host-built per shard (resident before the exchange),
     stage 2's is re-encoded on device from the [local | halo] payload."""
+    monkeypatch.setenv("MHSPGEMM_FORCE_OVERLAP", "1")
     mesh = _mesh(4)
     cfg = SpGEMMConfig(dma_fill="interpret")
     for A in (gen.banded(120, band=9, nnz_per_row=5, seed=21),
@@ -270,7 +274,8 @@ def test_dist_ragged_overlap_mosaic_fill():
         assert C.equals(oracle_spgemm(A, A), tol=1e-9)
 
 
-def test_dist_ragged_overlap_state_reuse():
+def test_dist_ragged_overlap_state_reuse(monkeypatch):
+    monkeypatch.setenv("MHSPGEMM_FORCE_OVERLAP", "1")
     mesh = _mesh(4)
     A = gen.banded(100, band=7, nnz_per_row=4, seed=30)
     st = {}
@@ -279,3 +284,80 @@ def test_dist_ragged_overlap_state_reuse():
         C = spgemm_dist(A, None, mesh, b_strategy="ragged_overlap",
                         state=st)
         assert C.equals(ref, tol=1e-9)
+
+
+def test_dist_overlap_falls_back_on_cpu_mesh():
+    """The plan-time timeline model (max(comm, s1) + s2 + class fixed
+    costs vs comm + single-stage) must reject the overlap split on a
+    host CPU mesh — no second execution resource means comm hiding buys
+    nothing and the split's extra classes/area always lose
+    (DIST_SCALING_r3: overlap lost at every D; VERDICT round-4 #4).
+    Correctness is unchanged either way; this pins the DECISION."""
+    mesh = _mesh(4)
+    A = gen.powerlaw(300, avg_nnz=5, seed=22)
+    st = {}
+    C = spgemm_dist(A, None, mesh, b_strategy="ragged_overlap", state=st)
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+    # the recorded state comes from the fallback's ragged path: its
+    # kernel signature has no halo-stage class arrays
+    assert st, "state not recorded"
+
+
+# ---------------------------------------------------------------------------
+# 2-D block-partitioned grid (BASELINE.json north star: "A row-partitioned
+# and B block-partitioned")
+# ---------------------------------------------------------------------------
+
+def _grid(dr, dc):
+    if len(jax.devices()) < dr * dc:
+        pytest.skip(f"needs {dr * dc} devices")
+    from mh_spgemm_tpu.parallel.mesh import make_grid_mesh
+    return make_grid_mesh(dr, dc)
+
+
+@pytest.mark.parametrize("dr,dc", [(2, 2), (4, 2), (2, 4)])
+def test_dist_grid2d_matches_oracle(dr, dc):
+    """Shard (r, c) computes C[rows_r, cols_c]; per-row segments from
+    increasing column blocks concatenate into ascending CSR order."""
+    mesh = _grid(dr, dc)
+    for A in (gen.banded(120, band=9, nnz_per_row=5, seed=31),
+              gen.powerlaw(300, avg_nnz=5, seed=32),
+              gen.random_uniform(101, nnz_per_row=4, seed=33)):
+        C = spgemm_dist(A, None, mesh, b_strategy="grid2d")
+        assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_dist_grid2d_f32_and_state_reuse():
+    mesh = _grid(2, 2)
+    A = gen.banded(100, band=7, nnz_per_row=4, seed=34)
+    cfg = SpGEMMConfig(value_dtype="float32", tolerance=1e-4)
+    ref = oracle_spgemm(A, A)
+    st = {}
+    for _ in range(2):
+        C = spgemm_dist(A, None, mesh, config=cfg, b_strategy="grid2d",
+                        state=st)
+        assert C.equals(ref, tol=1e-4)
+    assert st.get("grid") == (2, 2)
+
+
+def test_dist_grid2d_mosaic_fill():
+    """grid2d with the Mosaic fill frontend (interpret mode on CPU)."""
+    mesh = _grid(2, 2)
+    cfg = SpGEMMConfig(dma_fill="interpret")
+    A = gen.banded(120, band=9, nnz_per_row=5, seed=35)
+    C = spgemm_dist(A, None, mesh, config=cfg, b_strategy="grid2d")
+    assert C.equals(oracle_spgemm(A, A), tol=1e-9)
+
+
+def test_plan_col_blocks_partitions_exactly():
+    from mh_spgemm_tpu.parallel.spgemm_dist import plan_col_blocks
+    A = gen.powerlaw(200, avg_nnz=6, seed=36)
+    cb, ptrs, cols, vals = plan_col_blocks(A, 3)
+    assert cb[0] == 0 and cb[-1] == A.N
+    assert sum(c.size for c in cols) == A.nnz
+    for c in range(3):
+        assert (cols[c] >= cb[c]).all() and (cols[c] < cb[c + 1]).all()
+        # per-row order preserved (ascending inside each row)
+        for r in range(200):
+            seg = cols[c][ptrs[c][r]:ptrs[c][r + 1]]
+            assert (np.diff(seg) > 0).all() if seg.size > 1 else True
