@@ -74,6 +74,13 @@ _I32_MAX = np.int32(2**31 - 1)
 # setup + block walk), and ~2 ns/slot of vector work.  The planner
 # compares the two estimates per class.  Env-overridable for A/B runs.
 _GATHER_NS_PER_SLOT = float(os.environ.get("MHSPGEMM_GATHER_NS", "5.0"))
+# End-to-end per-slot cost for the CLASS-MERGE decision: a padded slot
+# pays the whole pipeline (frontend + df two-product + segmented sums +
+# two sorts ≈ 25-40 ns measured, scripts/profile_bucketed.py round 5),
+# not just the frontend gather.  Round-5's first cut merged at the
+# 5 ns frontend figure and ballooned scircuit's area 634K -> 2.1M slots
+# for a net loss.
+_MERGE_SLOT_NS = float(os.environ.get("MHSPGEMM_MERGE_SLOT_NS", "30.0"))
 # Grouped slice-gather (scripts/micro_group_gather.py): the short-span
 # specialization candidate — G-align entry spans so one G*k-word slice
 # gather feeds G slots (the reference's tiny-row/pwarp bins,
@@ -139,13 +146,22 @@ class ClassPlan:
     # slice gather per aligned G-block feeds G slots (G=1 = plain wide
     # gather).  W % G == 0 by construction.
     G: int = 1
+    # Precomputed per-slot expansion (single-chip gather classes): the
+    # seed descriptors are plan-static, so the hold-scan's per-slot
+    # result (B source index, A value index) is materialised ON HOST at
+    # plan time and the device frontend collapses to pure takes —
+    # measured 2026-08-20: the 5 seed scatters + 2*log2(W) hold passes
+    # cost ~4 ns/slot that two extra plan-resident i32 reads replace.
+    pre: bool = False
+    slot_src: Optional[np.ndarray] = None   # int32[nchunks, rb*W], -1 pad
+    slot_aidx: Optional[np.ndarray] = None  # int32[nchunks, rb*W]
 
     @property
     def spec(self) -> Tuple[int, ...]:
         return (self.W, self.rb, self.nchunks, self.eb,
                 self.hold_passes, self.seg_passes,
                 self.fill, self.stride, self.wrows, self.out_rows,
-                self.planar, self.G)
+                self.planar, self.G, self.pre)
 
 
 @dataclasses.dataclass
@@ -205,6 +221,7 @@ class BucketPlan:
                  "seg_passes": c.seg_passes, "fill": c.fill, "G": c.G,
                  "frontend": ("fill" if c.fill
                               else f"grouped{c.G}" if c.G > 1
+                              else "pre" if c.pre
                               else "gather")}
                 for c in self.classes
             ],
@@ -362,6 +379,33 @@ def _attach_fill_plan(c: "ClassPlan", stride: int,
     c.row_len = row_len
 
 
+def _attach_slot_arrays(c: "ClassPlan") -> None:
+    """Materialise the per-slot expansion operands (B source index, A
+    value index) from the entry descriptors — the host-side evaluation
+    of what _expand_seeds computes on device every call.  Slots outside
+    any entry's span keep -1 (the invalid sentinel)."""
+    RW = c.rb * c.W
+    ss = np.full((c.nchunks, RW), -1, np.int32)
+    sa = np.zeros((c.nchunks, RW), np.int32)
+    live = c.ent_len > 0
+    ch, ei = np.nonzero(live)
+    if ch.size:
+        dst = c.ent_dst[ch, ei].astype(np.int64)
+        src = c.ent_src[ch, ei].astype(np.int64)
+        ln = c.ent_len[ch, ei].astype(np.int64)
+        ai = c.ent_aidx[ch, ei]
+        tot = int(ln.sum())
+        rep = np.repeat(np.arange(dst.size), ln)
+        within = (np.arange(tot, dtype=np.int64)
+                  - np.repeat(np.cumsum(ln) - ln, ln))
+        pos = ch[rep] * RW + dst[rep] + within
+        ss.reshape(-1)[pos] = (src[rep] + within).astype(np.int32)
+        sa.reshape(-1)[pos] = ai[rep]
+    c.pre = True
+    c.slot_src = ss
+    c.slot_aidx = sa
+
+
 def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  min_width: int = 128, area_cap: int = 1 << 23,
                  vwords: int = 2, dma_fill: str = "off",
@@ -370,7 +414,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  forced: Optional[dict] = None,
                  planar: bool = False,
                  pow2_fill_widths: bool = False,
-                 group: str = "off"
+                 group: str = "off",
+                 precompute: bool = False
                  ) -> BucketPlan:
     """Bin rows by product count into power-of-two width classes and build
     per-chunk A-entry descriptors (vectorized numpy; cached per (A, B)).
@@ -444,6 +489,7 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  if p.size else np.zeros(0))
     k_words = 2 if vwords == 1 else 4
     group_ok = (group != "off" and forced is None and p.size > 0
+                and not precompute     # pre-takes make slices pointless
                 and vwords in (1, 2)
                 and (int(b_starts.max() + b_lens.max()
                          if b_starts.size else 0)
@@ -473,6 +519,11 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
 
     wclass = _width_class(p_eff, min_width)
     wclass = -(-wclass // G_row) * G_row            # W % G == 0
+    if precompute and p.size:
+        # single-product rows take the W=1 direct path (the one-nnz
+        # closed-form kernels, inc/numeric.cuh:66-99): no duplicate
+        # columns possible -> no sort, no pack, takes + multiply only
+        wclass = np.where(p_eff == 1, 1, wclass)
     if pow2_fill_widths and active.size:
         # rows headed for fill classes (long average B spans): round the
         # width class up to a power of two so the fused Mosaic ESC tail
@@ -511,6 +562,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             widths_u = sorted(int(w) for w in
                               np.unique(wclass[G_row == G]))
             for i, w in enumerate(widths_u[:-1]):
+                if w == 1:
+                    continue    # keep the W=1 direct class intact
                 sel = (wclass == w) & (G_row == G)
                 nxt = widths_u[i + 1]
                 if nxt > fill_slot_cap >= w:
@@ -519,9 +572,9 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                 fillish = (fill_ok and G == 1 and nxt <= fill_slot_cap
                            and float(span[sel].mean()) >=
                            _FILL_MIN_SPAN_WORDS)
-                slot_ns = (4.0 if fillish
+                slot_ns = (10.0 if fillish
                            else _GROUP_IDX_NS[G] / G + _GROUP_TAIL_NS
-                           if G > 1 else _GATHER_NS_PER_SLOT)
+                           if G > 1 else _MERGE_SLOT_NS)
                 if rows_n * (nxt - w) * slot_ns < merge_ns:
                     wclass[sel] = nxt
 
@@ -648,6 +701,11 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                               force=fill_force or fill_forced,
                               planar=planar)
 
+    if precompute:
+        for c in classes:
+            if not c.fill:
+                _attach_slot_arrays(c)
+
     # flat offset of each row's slab in the concatenated class slabs
     # (extraction reads output j of row r at slab_row_start[r] + rank)
     slab_row_start = np.zeros(m, dtype=np.int32)
@@ -716,6 +774,7 @@ def upload_plan(plan: BucketPlan) -> None:
         tuple(jnp.asarray(x) for x in
               ((c.rows_g, c.ent_dst, c.ent_len, c.ent_aidx, c.row_len,
                 c.win_row, c.runs) if c.fill else
+               (c.rows_g, c.slot_src, c.slot_aidx) if c.pre else
                (c.rows_g, c.ent_dst, c.ent_src, c.ent_len, c.ent_aidx)))
         for c in plan.classes
     ]
@@ -997,7 +1056,18 @@ def _chunk_tail(K, prod, *, rb: int, seg_passes: int, df: bool = False,
     on the f32/df32 value pipeline through the fused Mosaic kernel
     (ops/esc_tail.py: bitonic in-segment sort + compensated segmented
     accumulate + left-pack, all in VMEM) instead of the XLA ops below
-    (config.SpGEMMConfig.esc_tail)."""
+    (config.SpGEMMConfig.esc_tail).
+
+    ``W == 1``: the single-product-row direct path (the reference's
+    one-nnz closed-form kernels, inc/numeric.cuh:66-99) — one product
+    per row means no duplicate columns, no sort, no pack."""
+    if W == 1:
+        if df:
+            H, L = prod
+            nnz_row = jnp.sum(K < _I32_MAX, axis=1, dtype=jnp.int32)
+            return K, jnp.stack([H, L]), nnz_row
+        nnz_row = jnp.sum(K < _I32_MAX, axis=1, dtype=jnp.int32)
+        return K, prod, nnz_row
     f32_vals = df or (not isinstance(prod, tuple)
                       and prod.dtype == jnp.float32)
     if (tail in ("on", "interpret") and f32_vals
@@ -1124,6 +1194,31 @@ def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
         ent_dst, ent_src, ent_len, ent_aidx, a_val, b_col, b_val,
         W=W, rb=rb, hold_passes=hold_passes, df=df, b_words=b_words,
         wk=wk, vdtype=vdtype, G=G)
+    prod = _product(AV, bv, valid, df)
+    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
+                       W=W, tail=tail)
+
+
+def _chunk_pre(rows_g, slot_src, slot_aidx, a_val, b_col, b_val, *,
+               W: int, rb: int, seg_passes: int, df: bool = False,
+               tail: str = "off", vdtype=None):
+    """One [rb, W] chunk on the PRECOMPUTED frontend: the per-slot
+    source/A-value indices were evaluated on host at plan time
+    (_attach_slot_arrays), so expansion is pure takes — no seed
+    scatters, no hold-scan (measured ~4 ns/slot saved, plus better
+    fusion of the takes chain)."""
+    src = slot_src.reshape(rb, W)
+    valid = src >= 0
+    srcc = jnp.where(valid, src, 0).reshape(-1)
+    K = jnp.where(valid, b_col[srcc].reshape(rb, W), _I32_MAX)
+    ai = jnp.where(valid, slot_aidx.reshape(rb, W), 0).reshape(-1)
+    if df:
+        bv = (b_val[0][srcc].reshape(rb, W),
+              b_val[1][srcc].reshape(rb, W))
+        AV = (a_val[0][ai].reshape(rb, W), a_val[1][ai].reshape(rb, W))
+    else:
+        bv = b_val[srcc].reshape(rb, W)
+        AV = a_val[ai].reshape(rb, W)
     prod = _product(AV, bv, valid, df)
     return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
                        W=W, tail=tail)
@@ -1360,7 +1455,7 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
     slabs = []
     totals = []
     for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-         out_rows, planar, grp), arrs in zip(specs, class_arrays):
+         out_rows, planar, grp, pre), arrs in zip(specs, class_arrays):
         if fill:
             body = functools.partial(
                 _chunk_fill, a_val=a_val, pairs2d=pairs2d, W=W, rb=rb,
@@ -1368,6 +1463,11 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                 wrows=wrows, out_rows=out_rows,
                 vdtype=vdtype or b_val.dtype, interpret=interpret,
                 df=df, tail=tail, planar=planar)
+        elif pre:
+            body = functools.partial(
+                _chunk_pre, a_val=a_val, b_col=b_col, b_val=b_val,
+                W=W, rb=rb, seg_passes=sp, df=df, tail=tail,
+                vdtype=vdtype)
         else:
             body = functools.partial(
                 _chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
@@ -1411,47 +1511,27 @@ def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int,
     src = _slab_src(slab_row_start, cptr, m, nnz_cap)
     j = jnp.arange(nnz_cap, dtype=jnp.int32)
     ok = j < cptr[m]
-    bits = jax.lax.bitcast_convert_type
     area = sum(int(np.prod(oC.shape)) for oC, _, _ in slabs)
     src = jnp.clip(jnp.where(ok, src, 0), 0, area - 1)
-    if df or slabs[0][1].dtype == jnp.float32:
-        # wide extraction: interleave each slab into k-word records
-        # (col, value word(s)) so ONE slice gather per output nonzero
-        # fetches everything — XLA's TPU gather cost is per-index
-        # (scripts/micro_gather.py), so this beats the 2-3 separate
-        # per-plane gathers the planar layout would need.  The
-        # interleave itself is one streaming copy of the slab area.
-        def rec(oC, oV):
-            c = oC.reshape(-1)
-            if df:
-                ws = (c, bits(oV[:, 0].reshape(-1), jnp.int32),
-                      bits(oV[:, 1].reshape(-1), jnp.int32),
-                      jnp.zeros_like(c))
-            else:
-                ws = (c, bits(oV.reshape(-1), jnp.int32))
-            return jnp.stack(ws, axis=-1)
-        parts_w = [rec(oC, oV) for oC, oV, _ in slabs]
-        flat_w = (parts_w[0] if len(parts_w) == 1
-                  else jnp.concatenate(parts_w)).reshape(-1)
-        k = 4 if df else 2
-        g = _words_gather(flat_w, src, k)
-        ccol = jnp.where(ok, g[:, 0], 0)
-        if df:
-            z = jnp.float32(0)
-            cval = (jnp.where(ok, bits(g[:, 1], jnp.float32), z)
-                    .astype(jnp.float64)
-                    + jnp.where(ok, bits(g[:, 2], jnp.float32), z)
-                    .astype(jnp.float64))
-        else:
-            cval = jnp.where(ok, bits(g[:, 1], jnp.float32),
-                             jnp.float32(0))
+    # per-plane takes: one single-word gather per plane (~1 ns/index,
+    # scripts/micro_gather2.py).  Round 4's wide-record variant
+    # (interleave + one 4-word slice gather) lost twice over on the
+    # re-measured backend: the k-word slice costs more than k takes,
+    # and the device-side [area, k] interleave materialises a
+    # lane-padded layout.
+    def flat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    ccol = jnp.where(ok, flat([oC.reshape(-1) for oC, _, _ in slabs])
+                     [src], 0)
+    if df:
+        hi = flat([oV[:, 0].reshape(-1) for _, oV, _ in slabs])[src]
+        lo = flat([oV[:, 1].reshape(-1) for _, oV, _ in slabs])[src]
+        z = jnp.float32(0)
+        cval = (jnp.where(ok, hi, z).astype(jnp.float64)
+                + jnp.where(ok, lo, z).astype(jnp.float64))
         return ccol, cval
-    parts_c = [oC.reshape(-1) for oC, _, _ in slabs]
-    # single class: gather straight from the slab, no concat copy
-    flat_c = parts_c[0] if len(parts_c) == 1 else jnp.concatenate(parts_c)
-    ccol = jnp.where(ok, flat_c[src], 0)
-    parts_v = [oV.reshape(-1) for _, oV, _ in slabs]
-    flat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v)
+    flat_v = flat([oV.reshape(-1) for _, oV, _ in slabs])
     cval = jnp.where(ok, flat_v[src], jnp.zeros((), flat_v.dtype))
     return ccol, cval
 

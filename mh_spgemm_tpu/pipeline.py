@@ -296,7 +296,8 @@ def prepare_bucketed_state(A: CSR, B: CSR,
         planar=f32_vals,
         pow2_fill_widths=(config.esc_tail == "pow2" and f32_vals),
         group=(config.group_gather
-               if config.wide_gather != "off" and vwords else "off"))
+               if config.wide_gather != "off" and vwords else "off"),
+        precompute=True)
     return BucketedState(plan=plan, a_val=None, b_col=None,
                          b_val=None, df=use_df)
 

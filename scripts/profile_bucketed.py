@@ -76,11 +76,25 @@ def profile(name: str) -> None:
         def prog(class_arrays, a_val, b_col, b_val, b_words):
             acc = jnp.zeros((), jnp.float32)
             for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-                 out_rows, planar, grp), arrs in zip(specs, class_arrays):
+                 out_rows, planar, grp, pre), arrs in zip(specs,
+                                                          class_arrays):
                 if fill:
                     continue  # fill classes profiled separately
 
-                def body(rows_g, ent_dst, ent_src, ent_len, ent_aidx):
+                def body(*xs):
+                    if pre:
+                        rows_g, slot_src, slot_aidx = xs
+                        if depth in ("seeds", "front", "product",
+                                     "tail"):
+                            oC, oV, nnz_row = bk._chunk_pre(
+                                rows_g, slot_src, slot_aidx, a_val,
+                                b_col, b_val, W=W, rb=rb, seg_passes=sp,
+                                df=df, vdtype=jnp.float64)
+                            return (jnp.sum(oC).astype(jnp.float32)
+                                    + jnp.sum(oV.astype(jnp.float32))
+                                    + jnp.sum(nnz_row)
+                                    .astype(jnp.float32))
+                    rows_g, ent_dst, ent_src, ent_len, ent_aidx = xs
                     if depth == "seeds":
                         src0, valid, AV, off = bk._expand_seeds(
                             ent_dst, ent_src, ent_len, ent_aidx, a_val,
@@ -103,7 +117,10 @@ def profile(name: str) -> None:
                         return jnp.sum(p0).astype(jnp.float32)
                     oC, oV, nnz_row = bk._chunk_tail(
                         K, prod, rb=rb, seg_passes=sp, df=df, W=W)
+                    # consume oV too: a cols-only sum lets XLA DCE the
+                    # value pipeline (under-measured 5x in round 5)
                     return (jnp.sum(oC).astype(jnp.float32)
+                            + jnp.sum(oV.astype(jnp.float32))
                             + jnp.sum(nnz_row).astype(jnp.float32))
 
                 if nchunks == 1:

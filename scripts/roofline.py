@@ -66,7 +66,7 @@ def audit(name: str) -> dict:
         @jax.jit
         def prog(class_arrays, a_val, b_col, b_val, pairs2d, b_words):
             (W, rb, nchunks, eb, hp, sp, fill, stride, wrows, out_rows,
-             planar, grp) = specs[ki]
+             planar, grp, pre) = specs[ki]
             arrs = class_arrays[ki]
             if fill:
                 body = functools.partial(
@@ -74,6 +74,11 @@ def audit(name: str) -> dict:
                     rb=rb, hold_passes=hp, seg_passes=sp, stride=stride,
                     wrows=wrows, out_rows=out_rows, vdtype=jnp.float64,
                     interpret=False, df=df)
+            elif pre:
+                body = functools.partial(
+                    bk._chunk_pre, a_val=a_val, b_col=b_col,
+                    b_val=b_val, W=W, rb=rb, seg_passes=sp, df=df,
+                    vdtype=jnp.float64)
             else:
                 body = functools.partial(
                     bk._chunk_esc, a_val=a_val, b_col=b_col, b_val=b_val,
@@ -86,7 +91,11 @@ def audit(name: str) -> dict:
                 def step(carry, xs):
                     return carry, body(*xs)
                 _, (oC, oV, nnz_row) = jax.lax.scan(step, None, arrs)
+            # consume EVERY output — a cols-only reduction lets XLA DCE
+            # the whole value pipeline (the first round-5 audit under-
+            # measured 5x this way)
             return (jnp.sum(oC).astype(jnp.float32)
+                    + jnp.sum(oV.astype(jnp.float32))
                     + jnp.sum(nnz_row).astype(jnp.float32))
         return prog
 

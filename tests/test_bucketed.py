@@ -204,12 +204,18 @@ def test_grouped_gather_forced(monkeypatch):
     scripts/micro_gather2.py), so the test tips the constants to force
     G>1 and verifies correctness end to end."""
     from mh_spgemm_tpu.ops import bucketed as bk
-    from mh_spgemm_tpu.pipeline import spgemm_bucketed
+    from mh_spgemm_tpu.pipeline import BucketedState, spgemm_bucketed
     monkeypatch.setitem(bk._GROUP_IDX_NS, 1, 500.0)
     A = gen.powerlaw(400, avg_nnz=6, seed=41)
     cfg = SpGEMMConfig(mode="bucketed", value_dtype="float64",
                        dma_fill="off")
-    C, state = spgemm_bucketed(A, A, config=cfg)
+    # plan WITHOUT precompute (the production single-chip default):
+    # pre-takes disable grouping, so build the grouped plan directly
+    plan = bk.plan_buckets(A.ptr, A.col, A.ptr, min_width=2,
+                           vwords=2, dma_fill="off", group="auto")
+    state = BucketedState(plan=plan, a_val=None, b_col=None,
+                          b_val=None, df=False)
+    C, state = spgemm_bucketed(A, A, config=cfg, state=state)
     gs = [c.G for c in state.plan.classes]
     assert any(g > 1 for g in gs), f"grouping never engaged: {gs}"
     assert state.b_words is not None
