@@ -201,6 +201,13 @@ class BucketPlan:
     vwords: int = 2
     ext: Optional[ExtractPlan] = None   # Mosaic extraction (or None)
     crow_h: Optional[np.ndarray] = None  # learned per-row nnz(C) (host)
+    # static extraction (warm): per-output slab source index + cptr,
+    # evaluated on host from crow_h — nnz(C) is structural, so once
+    # learned these are plan constants and the warm program skips the
+    # crow scatter / cptr cumsum / _slab_src hold entirely
+    ext_src_h: Optional[np.ndarray] = None   # int32[nnz_cap], clipped
+    cptr_h: Optional[np.ndarray] = None      # int32[m_cap + 1]
+    ext_static_dev: Optional[tuple] = None   # (src, cptr) device pair
 
     def stats(self) -> dict:
         """Occupancy/padding counters — the TPU analogue of the reference's
@@ -520,10 +527,15 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
     wclass = _width_class(p_eff, min_width)
     wclass = -(-wclass // G_row) * G_row            # W % G == 0
     if precompute and p.size:
-        # single-product rows take the W=1 direct path (the one-nnz
-        # closed-form kernels, inc/numeric.cuh:66-99): no duplicate
-        # columns possible -> no sort, no pack, takes + multiply only
-        wclass = np.where(p_eff == 1, 1, wclass)
+        # pow2 width grid: the flat Mosaic tail (esc_tail_flat) needs
+        # aligned pow2 segments, and at its ~1 ns/slot the extra pad
+        # slots vs the 1.25 grid cost less than the XLA sort tail on
+        # any width.  Single-product rows take the W=1 direct path (the
+        # one-nnz closed-form kernels, inc/numeric.cuh:66-99): no
+        # duplicate columns possible -> no sort, no pack.
+        pw = 2 ** np.ceil(np.log2(np.maximum(1, p_eff))
+                          ).astype(np.int64)
+        wclass = np.where(p_eff == 1, 1, np.maximum(8, pw))
     if pow2_fill_widths and active.size:
         # rows headed for fill classes (long average B spans): round the
         # width class up to a power of two so the fused Mosaic ESC tail
@@ -1199,29 +1211,79 @@ def _chunk_esc(rows_g, ent_dst, ent_src, ent_len, ent_aidx,
                        W=W, tail=tail)
 
 
+def _nnz_from_packed_flat(oK, W: int, rb: int) -> jax.Array:
+    """Per-row output count from flat left-packed keys: XOR-fold the
+    valid flags within each aligned W-wide lane segment (every lane ends
+    holding its segment's total), then one strided slice — no [rb, W]
+    materialisation."""
+    v = (oK < _I32_MAX).astype(jnp.int32)
+    if W <= 128:
+        v2 = v.reshape(-1, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, v2.shape, 1)
+        d = 1
+        while d < W:
+            up = jnp.roll(v2, -d, axis=1)
+            dn = jnp.roll(v2, d, axis=1)
+            v2 = v2 + jnp.where((lane & d) == 0, up, dn)
+            d <<= 1
+        return v2[:, ::W].reshape(-1)
+    return jnp.sum(v.reshape(rb, W // 128, 128), axis=(1, 2),
+                   dtype=jnp.int32)
+
+
 def _chunk_pre(rows_g, slot_src, slot_aidx, a_val, b_col, b_val, *,
                W: int, rb: int, seg_passes: int, df: bool = False,
                tail: str = "off", vdtype=None):
-    """One [rb, W] chunk on the PRECOMPUTED frontend: the per-slot
-    source/A-value indices were evaluated on host at plan time
-    (_attach_slot_arrays), so expansion is pure takes — no seed
-    scatters, no hold-scan (measured ~4 ns/slot saved, plus better
-    fusion of the takes chain)."""
-    src = slot_src.reshape(rb, W)
-    valid = src >= 0
-    srcc = jnp.where(valid, src, 0).reshape(-1)
-    K = jnp.where(valid, b_col[srcc].reshape(rb, W), _I32_MAX)
-    ai = jnp.where(valid, slot_aidx.reshape(rb, W), 0).reshape(-1)
+    """One rb*W-slot chunk on the PRECOMPUTED frontend, entirely in FLAT
+    layout: the per-slot source/A-value indices were evaluated on host
+    at plan time (_attach_slot_arrays), so expansion is pure takes — no
+    seed scatters, no hold-scan — and no intermediate is ever shaped
+    [rb, W] (for W ≪ 128 that layout lane-pads 128/W× in HBM; round-5
+    profiling measured it as the dominant class cost, e.g. scircuit's
+    W=1 class at 40 ns/slot for takes + one multiply).  The tail runs
+    the flat Mosaic kernel (esc_tail_flat) when enabled and supported;
+    otherwise the XLA [rb, W] tail remains the fallback.  Returns flat
+    (oC [L], oV [2, L] | [L], nnz_row [rb])."""
+    L = rb * W
+    valid = slot_src >= 0
+    srcc = jnp.where(valid, slot_src, 0)
+    K = jnp.where(valid, b_col[srcc], _I32_MAX)
+    ai = jnp.where(valid, slot_aidx, 0)
     if df:
-        bv = (b_val[0][srcc].reshape(rb, W),
-              b_val[1][srcc].reshape(rb, W))
-        AV = (a_val[0][ai].reshape(rb, W), a_val[1][ai].reshape(rb, W))
+        bv = (b_val[0][srcc], b_val[1][srcc])
+        AV = (a_val[0][ai], a_val[1][ai])
     else:
-        bv = b_val[srcc].reshape(rb, W)
-        AV = a_val[ai].reshape(rb, W)
+        bv = b_val[srcc]
+        AV = a_val[ai]
     prod = _product(AV, bv, valid, df)
-    return _chunk_tail(K, prod, rb=rb, seg_passes=seg_passes, df=df,
-                       W=W, tail=tail)
+    if W == 1:
+        # single-product rows (the one-nnz closed-form kernels,
+        # inc/numeric.cuh:66-99): no duplicates possible — no tail
+        nnz_row = valid.astype(jnp.int32)
+        return K, (jnp.stack(prod) if df else prod), nnz_row
+    f32v = df or (not isinstance(prod, tuple)
+                  and prod.dtype == jnp.float32)
+    if (tail in ("on", "interpret") and f32v
+            and esc_tail_mod.supported_w2(W)):
+        H, Lo = prod if df else (prod, None)
+        bits = jax.lax.bitcast_convert_type
+        oK, oh, ol = esc_tail_mod.esc_tail_flat(
+            K, bits(H, jnp.int32), bits(Lo if df else H, jnp.int32),
+            w2=W, f64=df, interpret=(tail == "interpret"))
+        nnz_row = _nnz_from_packed_flat(oK, W, rb)
+        if df:
+            oV = jnp.stack([bits(oh, jnp.float32),
+                            bits(ol, jnp.float32)])
+        else:
+            oV = bits(oh, jnp.float32)
+        return oK, oV, nnz_row
+    Kr = K.reshape(rb, W)
+    pr = ((prod[0].reshape(rb, W), prod[1].reshape(rb, W)) if df
+          else prod.reshape(rb, W))
+    oC, oV, nnz_row = _chunk_tail(Kr, pr, rb=rb, seg_passes=seg_passes,
+                                  df=df, W=W, tail="off")
+    oV = oV.reshape(2, L) if df else oV.reshape(L)
+    return oC.reshape(L), oV, nnz_row
 
 
 def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
@@ -1536,6 +1598,32 @@ def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int,
     return ccol, cval
 
 
+def bucketed_extract_static(slabs, ext_src, *, nnz_c: int,
+                            df: bool = False):
+    """Warm extraction with host-precomputed slab sources: three takes
+    (col, hi, lo) with a static validity bound — no crow scatter, no
+    cptr cumsum, no _slab_src hold (attach_static_extract)."""
+    def flat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    nnz_cap = ext_src.shape[0]
+    ok = jnp.arange(nnz_cap, dtype=jnp.int32) < np.int32(nnz_c)
+    take = functools.partial(
+        jnp.take, indices=ext_src, axis=0, mode="clip")
+    ccol = jnp.where(ok, take(flat([oC.reshape(-1)
+                                    for oC, _, _ in slabs])), 0)
+    if df:
+        hi = take(flat([oV[:, 0].reshape(-1) for _, oV, _ in slabs]))
+        lo = take(flat([oV[:, 1].reshape(-1) for _, oV, _ in slabs]))
+        z = jnp.float32(0)
+        cval = (jnp.where(ok, hi, z).astype(jnp.float64)
+                + jnp.where(ok, lo, z).astype(jnp.float64))
+        return ccol, cval
+    flat_v = flat([oV.reshape(-1) for _, oV, _ in slabs])
+    cval = jnp.where(ok, take(flat_v), jnp.zeros((), flat_v.dtype))
+    return ccol, cval
+
+
 def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
               nnz_cap: int) -> jax.Array:
     """Slab source index of every output position WITHOUT a per-element
@@ -1598,6 +1686,30 @@ def plan_extract(plan: BucketPlan, crow: np.ndarray) -> None:
         force=plan.dma_fill in ("on", "interpret"))
 
 
+def attach_static_extract(plan: BucketPlan) -> None:
+    """Host-evaluate the extraction operands from the learned per-row
+    counts: ``src[j]`` (flat slab index of output j) and the full
+    ``cptr``.  nnz(C) is structural — once ``crow_h`` is known these are
+    plan constants, so the warm fused program drops the crow scatter,
+    the cptr cumsum and the _slab_src hold (measured together ~10 ms on
+    scircuit's 393K outputs) for two plan-resident arrays."""
+    crow = plan.crow_h.astype(np.int64)
+    cptr = np.concatenate([[0], np.cumsum(crow)])
+    area = sum(c.W * c.rb * c.nchunks for c in plan.classes)
+    src = np.arange(plan.nnz_cap, dtype=np.int64)
+    row_of = np.repeat(np.arange(plan.m), crow)
+    base = (plan.slab_row_start[: plan.m].astype(np.int64)
+            - cptr[: plan.m])
+    add = np.zeros(plan.nnz_cap, np.int64)
+    add[: row_of.size] = base[row_of]
+    plan.ext_src_h = np.clip(src + add, 0, max(0, area - 1)) \
+        .astype(np.int32)
+    full = np.full((plan.m_cap + 1,), cptr[-1], np.int64)
+    full[: plan.m + 1] = cptr
+    plan.cptr_h = full.astype(np.int32)
+    plan.ext_static_dev = None
+
+
 def warm_plan_from_crow(plan: BucketPlan, crow: np.ndarray) -> None:
     """Warm a fresh plan from previously-learned per-row nnz(C) counts so
     the first call runs the fused one-dispatch program directly — no cold
@@ -1617,6 +1729,7 @@ def warm_plan_from_crow(plan: BucketPlan, crow: np.ndarray) -> None:
     plan.nnz_c = int(crow.sum())
     plan.nnz_cap = quantize(max(1, plan.nnz_c))
     plan.crow_h = crow.astype(np.int32)
+    attach_static_extract(plan)
     fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
                and plan.vwords in (1, 2)
                and (rf.on_tpu() or plan.dma_fill == "interpret"))
@@ -1805,13 +1918,14 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
 @functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
                                              "interpret", "nnz_cap",
                                              "ext_spec", "df", "tail",
-                                             "wk"))
+                                             "wk", "nnz_c"))
 def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
                    slab_row_start, ext_win, ext_runs, *,
                    specs: Tuple[Tuple[int, ...], ...], m: int,
                    vdtype=None, interpret: bool = False,
                    nnz_cap: int = 1, ext_spec=None, df: bool = False,
-                   tail: str = "off", b_words=None, wk: int = 0):
+                   tail: str = "off", b_words=None, wk: int = 0,
+                   ext_static=None, nnz_c: int = 0):
     """Warm-path program: main stage + extraction traced as ONE dispatch.
 
     Once the first run's totals fetch has fixed ``nnz_cap`` (and the
@@ -1826,6 +1940,13 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
         class_arrays, a_val, b_col, b_val, pairs2d,
         specs=specs, m=m, vdtype=vdtype, interpret=interpret, df=df,
         tail=tail, b_words=b_words, wk=wk)
+    if ext_static is not None:
+        # host-precomputed sources + cptr constant: the device-side
+        # crow/cptr/slab_src computations above are dead code XLA prunes
+        ext_src, cptr_const = ext_static
+        ccol, cval = bucketed_extract_static(slabs, ext_src,
+                                             nnz_c=nnz_c, df=df)
+        return cptr_const, ccol, cval
     if ext_spec is not None:
         ccol, cval = bucketed_extract_mosaic(
             slabs, ext_win, ext_runs, slab_row_start, cptr,
@@ -1858,11 +1979,18 @@ def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
     else:
         ext_win = ext_runs = jnp.zeros((1,), jnp.int32)
         ext_spec = None
+    ext_static = None
+    if plan.ext is None and plan.ext_src_h is not None:
+        if plan.ext_static_dev is None:
+            plan.ext_static_dev = (jnp.asarray(plan.ext_src_h),
+                                   jnp.asarray(plan.cptr_h))
+        ext_static = plan.ext_static_dev
     cptr, ccol, cval = bucketed_fused(
         plan.dev, a_val, b_col, b_val, pairs2d, plan.dev_slab_start,
         ext_win, ext_runs, specs=specs, m=plan.m_cap, vdtype=vdtype,
         interpret=interpret, nnz_cap=plan.nnz_cap, ext_spec=ext_spec,
-        df=df, tail=tail, b_words=b_words, wk=wk)
+        df=df, tail=tail, b_words=b_words, wk=wk,
+        ext_static=ext_static, nnz_c=plan.nnz_c or 0)
     if vdtype is not None and jnp.dtype(vdtype) != cval.dtype:
         cval = cval.astype(vdtype)
     return cptr, ccol, cval
@@ -1880,6 +2008,7 @@ def finish_bucketed(plan: BucketPlan, main_out, vdtype, df: bool = False):
         plan.nnz_c = int(t.sum())
         plan.nnz_cap = quantize(max(1, plan.nnz_c))
         plan.crow_h = np.asarray(crow)[: plan.m].astype(np.int32)
+        attach_static_extract(plan)
         fill_ok = (plan.dma_fill in ("auto", "on", "interpret")
                    and plan.vwords in (1, 2)
                    and (rf.on_tpu() or plan.dma_fill == "interpret"))

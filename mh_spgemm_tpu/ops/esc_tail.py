@@ -200,8 +200,9 @@ def _tail_kernel(w2: int, f64: bool, kref, href, lref, rlref, *orefs):
     L = pltpu.bitcast(lref[...], jnp.float32) if f64 else None
     shape = K.shape
 
-    # mask invalid slots (slot-in-row >= row products): key -> +inf
-    K = jnp.where(_fmod(shape, w2) < rlref[...], K, _I32_MAX)
+    if rlref is not None:
+        # mask invalid slots (slot-in-row >= row products): key -> +inf
+        K = jnp.where(_fmod(shape, w2) < rlref[...], K, _I32_MAX)
 
     # ---- sort by column ------------------------------------------------
     K, pay = _bitonic(K, (H, L) if f64 else (H,), w2)
@@ -224,6 +225,58 @@ def _tail_kernel(w2: int, f64: bool, kref, href, lref, rlref, *orefs):
     orefs[1][...] = pltpu.bitcast(pay2[1], jnp.int32)
     if f64:
         orefs[2][...] = pltpu.bitcast(pay2[2], jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("w2", "f64", "interpret"))
+def esc_tail_flat(keys, vhi, vlo, *, w2: int, f64: bool,
+                  interpret: bool = False):
+    """Fused sort + accumulate + pack over FLAT pre-masked slot planes.
+
+    Same kernel as :func:`esc_tail`, but the operands arrive as flat
+    1-D ``[slots]`` planes (``slots`` a multiple of ``w2``; invalid
+    slots already carry key 2^31-1) — the layout the precomputed
+    frontend produces.  Nothing is ever materialised as ``[rows, W]``:
+    for W ≪ 128 that layout lane-pads 128/W× in HBM, which round-5
+    profiling measured as the dominant cost of the small-width classes.
+    Returns flat (packed_cols, packed_hi_bits, packed_lo_bits|None).
+    """
+    slots = keys.shape[0]
+    assert slots % w2 == 0 and supported_w2(w2), (slots, w2)
+    blks = min(_BLKS, max(1024, 1 << (slots - 1).bit_length()))
+    nblocks = -(-slots // blks)
+    pad = nblocks * blks - slots
+    br = blks // 128
+
+    def plane(x, fill=0):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,), fill, jnp.int32)])
+        return x.reshape(-1, 128)
+
+    kernel = functools.partial(_tail_kernel, w2, f64)
+
+    def kernel3(kref, href, lref, *orefs):
+        return kernel(kref, href, lref, None, *orefs)
+
+    spec = pl.BlockSpec((br, 128), lambda t: (t, np.int32(0)))
+    nouts = 3 if f64 else 2
+    outs = pl.pallas_call(
+        kernel3,
+        grid=(nblocks,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec] * nouts,
+        out_shape=[jax.ShapeDtypeStruct((nblocks * br, 128), jnp.int32)
+                   for _ in range(nouts)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(plane(keys, fill=int(_I32_MAX)), plane(vhi),
+      plane(vlo) if f64 else plane(vhi))
+
+    ok = outs[0].reshape(-1)[:slots]
+    oh = outs[1].reshape(-1)[:slots]
+    ol = outs[2].reshape(-1)[:slots] if f64 else None
+    return ok, oh, ol
 
 
 @functools.partial(jax.jit, static_argnames=("w2", "f64", "interpret"))

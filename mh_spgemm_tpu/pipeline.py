@@ -379,8 +379,13 @@ def spgemm_bucketed(A: CSR, B: CSR,
     # two dispatches + one fence (VERDICT round-2 item 2: on a ~31 ms
     # transport the extra round trip was the whole margin on the small
     # suite members).
-    tail = {"on": "on", "pow2": "on", "interpret": "interpret"}.get(
-        config.esc_tail, "off")  # "auto" -> measured default (XLA tail)
+    # "auto": the flat Mosaic tail on real TPU (re-measured round 5 with
+    # order-sensitive consumption: it beats the XLA sort tail at every
+    # class width — the round-4 A/B that rejected it was fence-broken);
+    # XLA tail on CPU, where Mosaic only runs interpreted.
+    tail = {"on": "on", "pow2": "on", "interpret": "interpret",
+            "auto": "on" if bucketed_ops.rf.on_tpu() else "off"}.get(
+        config.esc_tail, "off")
     if plan.class_caps is not None and not config.profile:
         with PhaseTimer.phase(timing, "calculate_c_nnz"):
             cptr, ccol, cval = bucketed_ops.run_bucketed_fused(

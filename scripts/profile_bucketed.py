@@ -32,16 +32,49 @@ from mh_spgemm_tpu.pipeline import prepare_bucketed_state, spgemm_bucketed
 from mh_spgemm_tpu.timing import Timing
 
 
-def _time(fn, *args, iters=5):
+_RTT = None
+
+
+def _fetch1(out):
+    """Fetch one element of a FRESH device array — the authoritative
+    fence on this transport (block_until_ready acks the enqueue, not the
+    execution; a cached host copy returns instantly — fetch via a fresh
+    reshape+slice so the transfer really happens)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
+def _rtt() -> float:
+    """One uncached tiny-fetch round trip through the relay (seconds)."""
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: x + 1)
+        o = f(jnp.zeros((8,), jnp.int32))
+        _fetch1(o)
+        ts = []
+        for _ in range(3):
+            o = f(jnp.zeros((8,), jnp.int32))
+            t0 = time.perf_counter()
+            _fetch1(o)
+            ts.append(time.perf_counter() - t0)
+        _RTT = min(ts)
+    return _RTT
+
+
+def _time(fn, *args, iters=10):
+    """Pipelined steady-state ms/iteration: dispatch ``iters`` times
+    back-to-back (dispatch is async and ~free), fence ONCE with a real
+    fetch, subtract the measured fetch round trip.  The cudaEvent
+    analogue for a ~32 ms-RTT transport."""
     out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
+    _fetch1(out)                      # compile + drain the queue
+    rtt = _rtt()
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    _fetch1(out)
+    tot = time.perf_counter() - t0
+    return max(0.0, tot - rtt) / iters * 1e3
 
 
 def profile(name: str) -> None:
@@ -133,6 +166,60 @@ def profile(name: str) -> None:
         return prog
 
     bw = state.b_words
+
+    # per-class full-body timing (pre classes run _chunk_pre whole)
+    def class_program(ki: int, depth: str = "tail"):
+        spec = specs[ki]
+
+        @jax.jit
+        def prog(class_arrays, a_val, b_col, b_val, b_words):
+            (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
+             out_rows, planar, grp, pre) = spec
+            arrs = class_arrays[ki]
+
+            def body(*xs):
+                if pre:
+                    rows_g, slot_src, slot_aidx = xs
+                    oC, oV, nnz_row = bk._chunk_pre(
+                        rows_g, slot_src, slot_aidx, a_val, b_col,
+                        b_val, W=W, rb=rb, seg_passes=sp, df=df,
+                        vdtype=jnp.float64)
+                elif fill:
+                    oC, oV, nnz_row = bk._chunk_fill(
+                        *xs, a_val=a_val, pairs2d=None, W=W, rb=rb,
+                        hold_passes=hp, seg_passes=sp, stride=stride,
+                        wrows=wrows, out_rows=out_rows,
+                        vdtype=jnp.float64, interpret=False, df=df)
+                else:
+                    oC, oV, nnz_row = bk._chunk_esc(
+                        *xs, a_val=a_val, b_col=b_col, b_val=b_val,
+                        W=W, rb=rb, hold_passes=hp, seg_passes=sp,
+                        df=df, vdtype=jnp.float64, b_words=b_words,
+                        wk=state.wk if b_words is not None else 0,
+                        G=grp)
+                return (jnp.sum(oC).astype(jnp.float32)
+                        + jnp.sum(oV.astype(jnp.float32))
+                        + jnp.sum(nnz_row).astype(jnp.float32))
+
+            (W, rb, nchunks, *_) = spec
+            if nchunks == 1:
+                return body(*(x[0] for x in arrs))
+            def step(carry, xs):
+                return carry + body(*xs), None
+            acc, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), arrs)
+            return acc
+        return prog
+
+    for ki, c in enumerate(plan.classes):
+        try:
+            t = _time(class_program(ki), plan.dev, state.a_val,
+                      state.b_col, state.b_val, bw)
+            slots = c.W * c.rb * c.nchunks
+            print(f"   class W={c.W:<5d} slots={slots:<8d} "
+                  f"{t:8.2f} ms  {t*1e6/max(1,slots):7.1f} ns/slot")
+        except Exception as e:
+            print(f"   class W={c.W}: FAILED {type(e).__name__}: {e}")
+
     results = {"null": t_null}
     for depth in ("seeds", "front", "product", "tail"):
         prog = stage_program(depth)

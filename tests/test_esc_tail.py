@@ -197,3 +197,31 @@ def test_engine_mosaic_tail_engages(monkeypatch):
                        esc_tail="interpret")
     spgemm_host(A, None, config=cfg)
     assert calls["n"] > 0
+
+
+def test_engine_flat_tail_pre_classes(monkeypatch):
+    """The FLAT Mosaic tail (esc_tail_flat) engages for precomputed
+    gather classes (dma_fill off so no class is forced to fill) and the
+    engine matches the oracle cold and warm."""
+    import mh_spgemm_tpu.ops.esc_tail as et
+    from mh_spgemm_tpu import SpGEMMConfig, oracle_spgemm
+    from mh_spgemm_tpu.bench import gen
+    from mh_spgemm_tpu.pipeline import spgemm_bucketed
+    calls = {"n": 0}
+    real = et.esc_tail_flat
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(et, "esc_tail_flat", counting)
+    A = gen.powerlaw(300, avg_nnz=5, seed=42)
+    cfg = SpGEMMConfig(mode="bucketed", value_dtype="float64",
+                       dma_fill="off", esc_tail="interpret")
+    ref = oracle_spgemm(A, A)
+    state = None
+    for _ in range(2):
+        C, state = spgemm_bucketed(A, A, config=cfg, state=state)
+        assert C.host().equals(ref, tol=1e-9)
+    assert calls["n"] > 0
+    assert all(c.pre and not c.fill for c in state.plan.classes)
