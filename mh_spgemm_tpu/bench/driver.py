@@ -103,32 +103,64 @@ def run_matrix(A: CSR, name: str, config: SpGEMMConfig,
             mode = choose_engine(A, B, config)
             if verbose:
                 print(f"auto engine: {mode}")
+        # Steady-state protocol: warm up, then dispatch all ``iters``
+        # back-to-back with per-call fences suppressed, fence ONCE, and
+        # subtract the measured transport round trip — the honest
+        # analogue of the reference's cudaEvent loop (src/main.cu:102-
+        # 137): on this environment's relay a per-iteration fence costs
+        # ~32 ms of TUNNEL latency, which is synchronization price, not
+        # device time.  ``--profile`` keeps per-phase fences instead.
+        import time as _time
+
+        from .. import pipeline as _pl
+        from ..timing import device_fence, fence_round_trip_s
+        pipelined = not config.profile
         if mode in ("bucketed", "blockdense", "masked"):
             from ..pipeline import (spgemm_blockdense, spgemm_bucketed,
                                     spgemm_masked)
             run = {"bucketed": spgemm_bucketed,
                    "blockdense": spgemm_blockdense,
                    "masked": spgemm_masked}[mode]
-            for _ in range(warmup):
-                C, state = run(A, B, config=config, timing=Timing(),
+
+            def one(t):
+                nonlocal C, state
+                C, state = run(A, B, config=config, timing=t,
                                state=state)
-            for _ in range(iters):
-                t = Timing()
-                C, state = run(A, B, config=config, timing=t, state=state)
-                bench_timing += t
         else:
             dA = A.device(config.vdtype, pad=True)
             dB = B.device(config.vdtype, pad=True) if B is not A else dA
             plan = make_plan(dA, dB)
             plan.intprod = intprod
-            for _ in range(warmup):
-                C = spgemm(dA, dB, config=config, timing=Timing(),
-                           plan=plan)
+
+            def one(t):
+                nonlocal C
+                C = spgemm(dA, dB, config=config, timing=t, plan=plan)
+
+        for _ in range(warmup):
+            one(Timing())
+        if pipelined:
+            device_fence(C.val)                  # drain before timing
+            rtt = fence_round_trip_s()
+            t0 = _time.perf_counter()
+            with _pl.no_fence():
+                for _ in range(iters):
+                    t = Timing()
+                    one(t)
+                    bench_timing += t
+            device_fence(C.val)
+            total_ms = (_time.perf_counter() - t0 - rtt) * 1e3
+            bench_timing /= max(1, iters)
+            # phase fields now hold host-side dispatch time only; fold
+            # the device remainder into numeric so total() equals the
+            # measured steady-state per-iteration time
+            bench_timing.numeric += max(
+                0.0, total_ms / max(1, iters) - bench_timing.total())
+        else:
             for _ in range(iters):
                 t = Timing()
-                C = spgemm(dA, dB, config=config, timing=t, plan=plan)
+                one(t)
                 bench_timing += t
-        bench_timing /= max(1, iters)
+            bench_timing /= max(1, iters)
     except Exception as e:  # reference prints "failed", scores 0 GFLOPS
         print(f"MH-SpGEMM-TPU failed!!! ({type(e).__name__}: {e})")
         return BenchResult(name=name, m=A.M, n=B.N, nnz_a=A.nnz, nnz_c=0,

@@ -63,7 +63,8 @@ def cache_key(name: str, A, engine: str, config, df: bool) -> str:
     parts = (PLAN_CACHE_VERSION, name, A.M, A.N, A.nnz,
              _pattern_digest(A), engine, str(config.vdtype), bool(df),
              config.min_bucket_width, config.bucket_area_cap,
-             config.dma_fill, config.esc_tail, config.df32, config.ozaki)
+             config.dma_fill, config.esc_tail, config.df32,
+             config.ozaki, config.planned)
     return hashlib.sha1(repr(parts).encode()).hexdigest()[:24]
 
 

@@ -135,6 +135,13 @@ class SpGEMMConfig:
     # picks G per class; "off" disables (G=1 everywhere).  Requires the
     # wide-gather operand; no effect when wide_gather="off".
     group_gather: str = "auto"
+    # Planned VMEM frontend (ops/planned.py): host-scheduled windowed
+    # gathers + static routing networks replace the per-slot XLA takes
+    # (~8 ns/index on v5e) for precomputed classes whose chunk size and
+    # B table fit VMEM.  "auto" = on when running on real TPU, "on"
+    # forces (requires TPU), "interpret" runs the kernels interpreted
+    # (CPU tests), "off" keeps the takes frontend.
+    planned: str = "auto"
     # f64 block-dense pair-matmul on the MXU via the exact bf16-slice
     # Ozaki decomposition (ops/ozaki.py): "auto" engages it on TPU when
     # the plan-time error bound (ozaki.plan_ozaki_levels) certifies the

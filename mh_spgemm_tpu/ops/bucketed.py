@@ -155,13 +155,18 @@ class ClassPlan:
     pre: bool = False
     slot_src: Optional[np.ndarray] = None   # int32[nchunks, rb*W], -1 pad
     slot_aidx: Optional[np.ndarray] = None  # int32[nchunks, rb*W]
+    # planned frontend (ops/planned.py): host gather schedules + routing
+    # masks; engaged when pf is True (see attach_planned)
+    pf: bool = False
+    pf_host: Optional[dict] = None          # stacked per-chunk arrays
+    pf_spec: Tuple[int, ...] = ()           # (m_b, nst_b, m_a, nst_a)
 
     @property
     def spec(self) -> Tuple[int, ...]:
         return (self.W, self.rb, self.nchunks, self.eb,
                 self.hold_passes, self.seg_passes,
                 self.fill, self.stride, self.wrows, self.out_rows,
-                self.planar, self.G, self.pre)
+                self.planar, self.G, self.pre, self.pf, self.pf_spec)
 
 
 @dataclasses.dataclass
@@ -228,6 +233,7 @@ class BucketPlan:
                  "seg_passes": c.seg_passes, "fill": c.fill, "G": c.G,
                  "frontend": ("fill" if c.fill
                               else f"grouped{c.G}" if c.G > 1
+                              else "planned" if c.pf
                               else "pre" if c.pre
                               else "gather")}
                 for c in self.classes
@@ -413,6 +419,118 @@ def _attach_slot_arrays(c: "ClassPlan") -> None:
     c.slot_aidx = sa
 
 
+# Planned-frontend limits: chunk slot count bounds the routing-network
+# width (masks, VMEM, compile size); the table cap keeps the B planes
+# VMEM-resident (3 i32 planes under df plus outputs and masks).
+_PF_CHUNK_CAP = int(os.environ.get("MHSPGEMM_PF_CHUNK_CAP", 32768))
+_PF_TABLE_CAP_WORDS = int(os.environ.get("MHSPGEMM_PF_TABLE_CAP",
+                                         6_500_000))
+
+
+pn_nstages_1024 = 55        # len(_stage_list(1024)): dummy a-route spec
+
+
+def attach_planned(classes: List["ClassPlan"], nnz_b: int,
+                   interp: bool = False) -> None:
+    """Attach planned-frontend schedules (ops/planned.py) to eligible
+    pre classes: host-scheduled windowed gathers + static routing masks
+    replace the per-slot XLA takes (~8 ns/index on this chip).
+
+    Eligibility: pre class, chunk slots <= _PF_CHUNK_CAP (bounds the
+    routing-network width and its masks), and the B table small enough
+    to sit in VMEM (3 i32 planes under df/f32)."""
+    from . import planned as pn
+    if nnz_b + 1300 > _PF_TABLE_CAP_WORDS:
+        return
+    for c in classes:
+        if not c.pre or c.fill:
+            continue
+        L = c.rb * c.W
+        if L > _PF_CHUNK_CAP or c.W > L:
+            continue
+        scheds = []
+        for k in range(c.nchunks):
+            src = c.slot_src[k]
+            aidx = c.slot_aidx[k]
+            valid = src >= 0
+            pos = np.flatnonzero(valid)
+            bsch = pn.plan_pgather(src[pos].astype(np.int64), 0)
+            head = valid.copy()
+            cont = np.zeros(L, bool)
+            cont[1:] = (valid[1:] & valid[:-1]
+                        & (aidx[1:] == aidx[:-1])
+                        & (src[1:] == src[:-1] + 1))
+            cont[np.arange(L) % c.W == 0] = False
+            head &= ~cont
+            hpos = np.flatnonzero(head)
+            asch = pn.plan_pgather(aidx[hpos].astype(np.int64), 0)
+            scheds.append((pos, bsch, hpos, asch))
+        Gb = max(s[1][0].shape[0] for s in scheds)
+        Ga = max(s[3][0].shape[0] for s in scheds)
+        m_b = pn._pow2(max(Gb * 1024, L, 1024))
+        m_a = pn._pow2(max(Ga * 1024, L, 1024))
+        if m_b > 4 * _PF_CHUNK_CAP:
+            continue
+        # A-operand mode: routed windowed gather when its schedule stays
+        # dense; otherwise one XLA k=2 slice gather per slot on the
+        # interleaved a_words operand (sparse scrambled aidx pads the
+        # schedule ~2-3x and the routing network with it — measured
+        # worse than the 8.4 ns/slot slice gather)
+        a_route = m_a <= max(2 * pn._pow2(L), 2048)
+        if not a_route:
+            m_a, nst_a = 1024, pn_nstages_1024
+        host = {k: [] for k in ("bg_wblk", "bg_rowsel", "bg_lane",
+                                "bt_masks", "ag_wblk", "ag_rowsel",
+                                "ag_lane", "at_masks", "flags")}
+        nst_b = 0
+        nst_a = pn_nstages_1024 if not a_route else 0
+        for (pos, bsch, hpos, asch) in scheds:
+            def pad_route(sch, dst_pos, m):
+                wb, rowsel, lane, pm = sch
+                G = wb.shape[0]
+                Gmax = m // 1024
+                wb2 = np.zeros(Gmax, np.int32)
+                wb2[:G] = wb
+                rs2 = np.zeros((Gmax * 8, 128), np.int32)
+                rs2[: G * 8] = rowsel
+                ln2 = np.zeros((Gmax * 8, 128), np.int32)
+                ln2[: G * 8] = lane
+                pm2 = np.full(Gmax * 1024, -1, np.int64)
+                pm2[: pm.size] = pm
+                live = pm2 >= 0
+                dest = np.full(m, -1, np.int64)
+                dest[np.flatnonzero(live)] = dst_pos[pm2[live]]
+                free = np.setdiff1d(np.arange(m, dtype=np.int64),
+                                    dst_pos[pm2[live]])
+                dest[dest < 0] = free
+                masks, nst = pn.plan_route(dest, m)
+                return wb2, rs2, ln2, masks, nst
+            wb2, rs2, ln2, mb, nst_b = pad_route(bsch, pos, m_b)
+            host["bg_wblk"].append(wb2)
+            host["bg_rowsel"].append(rs2)
+            host["bg_lane"].append(ln2)
+            host["bt_masks"].append(mb)
+            if a_route:
+                awb2, ars2, aln2, ma, nst_a = pad_route(asch, hpos,
+                                                        m_a)
+                fl = np.zeros(m_a, np.int32)
+                fl[hpos] = 1
+            else:       # XLA a_words slice gather: dummy device arrays
+                awb2 = np.zeros(1, np.int32)
+                ars2 = np.zeros((8, 128), np.int32)
+                aln2 = np.zeros((8, 128), np.int32)
+                ma = np.zeros((1, 1024), np.int32)
+                fl = np.zeros(1024, np.int32)
+            host["ag_wblk"].append(awb2)
+            host["ag_rowsel"].append(ars2)
+            host["ag_lane"].append(aln2)
+            host["at_masks"].append(ma)
+            host["flags"].append(fl)
+        c.pf = True
+        c.pf_host = {k: np.stack(v) for k, v in host.items()}
+        c.pf_spec = (m_b, nst_b, m_a, nst_a, interp, a_route)
+
+
 def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  min_width: int = 128, area_cap: int = 1 << 23,
                  vwords: int = 2, dma_fill: str = "off",
@@ -422,7 +540,8 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                  planar: bool = False,
                  pow2_fill_widths: bool = False,
                  group: str = "off",
-                 precompute: bool = False
+                 precompute: bool = False,
+                 planned: str = "off"
                  ) -> BucketPlan:
     """Bin rows by product count into power-of-two width classes and build
     per-chunk A-entry descriptors (vectorized numpy; cached per (A, B)).
@@ -598,6 +717,14 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
                if active.size else np.zeros(0, bool))
         rows_c = active[sel] if active.size else \
             np.zeros(0, np.int32)                           # original order
+        if precompute and planned != "off" and rows_c.size:
+            # order class rows by their first B source so each CHUNK
+            # covers a contiguous slice of the B table — the planned
+            # frontend's windowed schedules stay dense (chunking in row
+            # order dropped per-chunk source density ~5x on scircuit's
+            # W=1 class and tripled the schedule padding)
+            fsrc = b_ptr[a_col[a_ptr[rows_c]]]
+            rows_c = rows_c[np.argsort(fsrc, kind="stable")]
         cand = False
         fill_forced = False
         if forced is not None:
@@ -619,6 +746,10 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
             rb, nchunks, eb_n = forced[W][:3]
         else:
             cap = fill_slot_cap if cand else area_cap
+            if precompute and planned != "off" and not cand:
+                # planned-frontend chunks: bound the routing-network
+                # width (masks scale with pow2(chunk slots))
+                cap = min(cap, _PF_CHUNK_CAP)
             rb = max(1, min(cap // W, quantize(max(1, rows_c.size))))
             nchunks = max(1, -(-rows_c.size // rb))
         nchunks = max(nchunks, -(-max(1, rows_c.size) // rb))
@@ -717,6 +848,9 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         for c in classes:
             if not c.fill:
                 _attach_slot_arrays(c)
+        if planned != "off" and vwords in (1, 2):
+            attach_planned(classes, int(b_ptr[-1]),
+                           interp=(planned == "interpret"))
 
     # flat offset of each row's slab in the concatenated class slabs
     # (extraction reads output j of row r at slab_row_start[r] + rank)
@@ -786,6 +920,13 @@ def upload_plan(plan: BucketPlan) -> None:
         tuple(jnp.asarray(x) for x in
               ((c.rows_g, c.ent_dst, c.ent_len, c.ent_aidx, c.row_len,
                 c.win_row, c.runs) if c.fill else
+               (c.rows_g, c.slot_src, c.slot_aidx,
+                c.pf_host["bg_wblk"],
+                c.pf_host["bg_rowsel"], c.pf_host["bg_lane"],
+                c.pf_host["bt_masks"], c.pf_host["ag_wblk"],
+                c.pf_host["ag_rowsel"], c.pf_host["ag_lane"],
+                c.pf_host["at_masks"], c.pf_host["flags"])
+               if c.pf else
                (c.rows_g, c.slot_src, c.slot_aidx) if c.pre else
                (c.rows_g, c.ent_dst, c.ent_src, c.ent_len, c.ent_aidx)))
         for c in plan.classes
@@ -1256,6 +1397,17 @@ def _chunk_pre(rows_g, slot_src, slot_aidx, a_val, b_col, b_val, *,
         bv = b_val[srcc]
         AV = a_val[ai]
     prod = _product(AV, bv, valid, df)
+    return _flat_tail(K, prod, valid, W=W, rb=rb,
+                      seg_passes=seg_passes, df=df, tail=tail)
+
+
+def _flat_tail(K, prod, valid, *, W: int, rb: int, seg_passes: int,
+               df: bool, tail: str):
+    """Shared flat-layout tail: Mosaic esc_tail_flat when enabled and
+    supported, XLA [rb, W] sort tail otherwise; W == 1 is the direct
+    no-dedup path.  Returns flat (oC [L], oV [2, L] | [L],
+    nnz_row [rb])."""
+    L = rb * W
     if W == 1:
         # single-product rows (the one-nnz closed-form kernels,
         # inc/numeric.cuh:66-99): no duplicates possible — no tail
@@ -1284,6 +1436,59 @@ def _chunk_pre(rows_g, slot_src, slot_aidx, a_val, b_col, b_val, *,
                                   df=df, W=W, tail="off")
     oV = oV.reshape(2, L) if df else oV.reshape(L)
     return oC.reshape(L), oV, nnz_row
+
+
+def _chunk_planned(rows_g, slot_src, slot_aidx, bg_wblk, bg_rowsel,
+                   bg_lane, bt_masks, ag_wblk, ag_rowsel, ag_lane,
+                   at_masks, flags,
+                   a_val, b_col, b_val, a_words, *, W: int, rb: int,
+                   seg_passes: int, df: bool = False,
+                   tail: str = "off", pf_spec=(), vdtype=None):
+    """One chunk on the PLANNED frontend (ops/planned.py): windowed
+    VMEM gathers with host-static schedules replace the ~8 ns/index XLA
+    takes; static routing networks deliver B records to slot order and
+    A run-head records to their runs (in-kernel propagate).  All
+    schedules derive from the plan-static slot_src/slot_aidx."""
+    from . import planned as pn
+    m_b, nst_b, m_a, nst_a, interp, a_route = pf_spec
+    L = rb * W
+    bits = jax.lax.bitcast_convert_type
+    valid = slot_src >= 0
+    if df:
+        btabs = [b_col, bits(b_val[0], jnp.int32),
+                 bits(b_val[1], jnp.int32)]
+        atabs = [bits(a_val[0], jnp.int32), bits(a_val[1], jnp.int32)]
+    else:
+        btabs = [b_col, bits(b_val.astype(jnp.float32), jnp.int32)]
+        atabs = [bits(a_val.astype(jnp.float32), jnp.int32)]
+    g = pn.pgather(btabs, bg_wblk, bg_rowsel, bg_lane,
+                   interpret=interp)
+    r = pn.proute(g, bt_masks, nst_b, interpret=interp)
+    K = jnp.where(valid, r[0][:L], _I32_MAX)
+    if a_route:
+        ga = pn.pgather(atabs, ag_wblk, ag_rowsel, ag_lane,
+                        interpret=interp)
+        ra = pn.proute(ga, at_masks, nst_a, hold_w2=W, flags=flags,
+                       interpret=interp)
+        ra = [x[:L] for x in ra]
+    else:
+        # sparse scrambled aidx: one k=2 slice gather per slot on the
+        # interleaved (hi, lo) a_words operand
+        ai = jnp.where(valid, slot_aidx, 0)
+        if df:
+            rec = _words_gather(a_words, ai, 2)
+            ra = [rec[:, 0], rec[:, 1]]
+        else:
+            ra = [bits(a_val.astype(jnp.float32), jnp.int32)[ai]]
+    if df:
+        bv = (bits(r[1][:L], jnp.float32), bits(r[2][:L], jnp.float32))
+        AV = (bits(ra[0], jnp.float32), bits(ra[1], jnp.float32))
+    else:
+        bv = bits(r[1][:L], jnp.float32)
+        AV = bits(ra[0], jnp.float32)
+    prod = _product(AV, bv, valid, df)
+    return _flat_tail(K, prod, valid, W=W, rb=rb,
+                      seg_passes=seg_passes, df=df, tail=tail)
 
 
 def _front_fill(ent_dst, ent_aidx, row_len, win_row, runs, a_val,
@@ -1497,7 +1702,8 @@ def plan_buckets_sharded(a_ptr: np.ndarray, a_col: np.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("specs", "m", "vdtype", "interpret",
                                     "df", "tail", "wk"))
-def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
+def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d,
+                  a_words, *,
                   specs: Tuple[Tuple[int, ...], ...], m: int,
                   vdtype=None, interpret: bool = False,
                   df: bool = False, tail: str = "off",
@@ -1517,7 +1723,8 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
     slabs = []
     totals = []
     for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-         out_rows, planar, grp, pre), arrs in zip(specs, class_arrays):
+         out_rows, planar, grp, pre, pf, pf_spec), arrs in zip(
+             specs, class_arrays):
         if fill:
             body = functools.partial(
                 _chunk_fill, a_val=a_val, pairs2d=pairs2d, W=W, rb=rb,
@@ -1525,6 +1732,11 @@ def bucketed_main(class_arrays, a_val, b_col, b_val, pairs2d, *,
                 wrows=wrows, out_rows=out_rows,
                 vdtype=vdtype or b_val.dtype, interpret=interpret,
                 df=df, tail=tail, planar=planar)
+        elif pf:
+            body = functools.partial(
+                _chunk_planned, a_val=a_val, b_col=b_col, b_val=b_val,
+                a_words=a_words, W=W, rb=rb, seg_passes=sp, df=df,
+                tail=tail, pf_spec=pf_spec, vdtype=vdtype)
         elif pre:
             body = functools.partial(
                 _chunk_pre, a_val=a_val, b_col=b_col, b_val=b_val,
@@ -1645,13 +1857,16 @@ def _slab_src(slab_row_start: jax.Array, cptr: jax.Array, m: int,
 def run_bucketed(plan: BucketPlan, a_val, b_col, b_val, pairs2d=None,
                  vdtype=None, interpret: bool = False,
                  df: bool = False, tail: str = "off",
-                 b_words=None, wk: int = 0):
+                 b_words=None, wk: int = 0, a_words=None):
     """Dispatch the main program.  Returns (crow, cptr, totals, slabs)."""
     upload_plan(plan)
     specs = tuple(c.spec for c in plan.classes)
     if pairs2d is None:
         pairs2d = jnp.zeros((1, 128), jnp.int32)
+    if a_words is None:
+        a_words = jnp.zeros((2,), jnp.int32)
     return bucketed_main(plan.dev, a_val, b_col, b_val, pairs2d,
+                         a_words,
                          specs=specs, m=plan.m_cap, vdtype=vdtype,
                          interpret=interpret, df=df, tail=tail,
                          b_words=b_words, wk=wk)
@@ -1920,7 +2135,7 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
                                              "ext_spec", "df", "tail",
                                              "wk", "nnz_c"))
 def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
-                   slab_row_start, ext_win, ext_runs, *,
+                   slab_row_start, ext_win, ext_runs, a_words, *,
                    specs: Tuple[Tuple[int, ...], ...], m: int,
                    vdtype=None, interpret: bool = False,
                    nnz_cap: int = 1, ext_spec=None, df: bool = False,
@@ -1937,7 +2152,7 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
     (scircuit, mac_econ_fwd500 — VERDICT round 2 item 2; protocol
     ``/root/reference/src/main.cu:102-137``)."""
     crow, cptr, totals, slabs = bucketed_main(
-        class_arrays, a_val, b_col, b_val, pairs2d,
+        class_arrays, a_val, b_col, b_val, pairs2d, a_words,
         specs=specs, m=m, vdtype=vdtype, interpret=interpret, df=df,
         tail=tail, b_words=b_words, wk=wk)
     if ext_static is not None:
@@ -1961,7 +2176,8 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
 def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
                        pairs2d=None, vdtype=None,
                        interpret: bool = False, df: bool = False,
-                       tail: str = "off", b_words=None, wk: int = 0):
+                       tail: str = "off", b_words=None, wk: int = 0,
+                       a_words=None):
     """Dispatch the fused warm-path program (requires a warm plan:
     ``plan.nnz_cap`` already learned).  Returns (cptr, ccol, cval)."""
     assert plan.nnz_cap is not None, "fused path needs a warm plan"
@@ -1985,9 +2201,12 @@ def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
             plan.ext_static_dev = (jnp.asarray(plan.ext_src_h),
                                    jnp.asarray(plan.cptr_h))
         ext_static = plan.ext_static_dev
+    if a_words is None:
+        a_words = jnp.zeros((2,), jnp.int32)
     cptr, ccol, cval = bucketed_fused(
         plan.dev, a_val, b_col, b_val, pairs2d, plan.dev_slab_start,
-        ext_win, ext_runs, specs=specs, m=plan.m_cap, vdtype=vdtype,
+        ext_win, ext_runs, a_words, specs=specs, m=plan.m_cap,
+        vdtype=vdtype,
         interpret=interpret, nnz_cap=plan.nnz_cap, ext_spec=ext_spec,
         df=df, tail=tail, b_words=b_words, wk=wk,
         ext_static=ext_static, nnz_c=plan.nnz_c or 0)

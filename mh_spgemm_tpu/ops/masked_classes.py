@@ -352,7 +352,7 @@ def masked_main(class_arrays, a_val, b_col, b_val, pairs2d, a_col,
     slabs = []
     totals = []
     for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows, out_rows,
-         planar, _grp, _pre, Wt, th, tfill, t_wrows,
+         planar, _grp, _pre, _pf, _pfs, Wt, th, tfill, t_wrows,
          t_out_rows), arrs in zip(specs, class_arrays):
         rows_g = arrs[0]
         ntile = 4 if tfill else 0

@@ -230,8 +230,8 @@ def _shard_bucketed_kernel(class_arrays, a_val, slab_start,
         pairs2d = jnp.zeros((1, 128), jnp.int32)
     crow, cptr, totals, slabs = bucketed_ops.bucketed_main(
         class_arrays, a_val, b_col_flat.reshape(-1),
-        b_val, pairs2d, specs=specs, m=m_cap,
-        interpret=interpret, df=df)
+        b_val, pairs2d, jnp.zeros((2,), jnp.int32), specs=specs,
+        m=m_cap, interpret=interpret, df=df)
     ccol, cval = bucketed_ops.bucketed_extract(
         slabs, slab_start.reshape(-1), cptr, m=m_cap, nnz_cap=nnz_cap,
         df=df)
@@ -764,6 +764,7 @@ def _shard_bucketed_overlap_kernel(local_arrays, halo_arrays, a_val,
     # on the local block, overlaps the in-flight exchange
     crow1, _, _, slabs1 = bucketed_ops.bucketed_main(
         local_arrays, a_val, bl_col, bl_val, pairs_l,
+        jnp.zeros((2,), jnp.int32),
         specs=specs_l, m=m_cap, interpret=interpret, df=df)
     # stage 2: halo rows against the [local | halo] payload layout
     bc = jnp.concatenate([bl_col, rc.reshape(-1)])
@@ -776,6 +777,7 @@ def _shard_bucketed_overlap_kernel(local_arrays, halo_arrays, a_val,
         jnp.zeros((1, 128), jnp.int32)
     crow2, _, _, slabs2 = bucketed_ops.bucketed_main(
         halo_arrays, a_val, bc, bv, pairs_h,
+        jnp.zeros((2,), jnp.int32),
         specs=specs_h, m=m_cap, interpret=interpret, df=df)
     crow = crow1 + crow2                      # disjoint row sets
     cptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),

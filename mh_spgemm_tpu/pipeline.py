@@ -105,10 +105,32 @@ def make_plan(A: DeviceCSR, B: DeviceCSR) -> SpGEMMPlan:
                       max_group=quantize_pow2(max_group))
 
 
+_FENCE_ON = True
+
+
+class no_fence:
+    """Context: suppress the per-call phase fences so a benchmark loop
+    can pipeline iterations through the transport (dispatch is async)
+    and fence ONCE at the end — see timing.fence_round_trip_s."""
+
+    def __enter__(self):
+        global _FENCE_ON
+        self._prev = _FENCE_ON
+        _FENCE_ON = False
+        return self
+
+    def __exit__(self, *exc):
+        global _FENCE_ON
+        _FENCE_ON = self._prev
+        return False
+
+
 def _fence(*arrays) -> None:
     """Phase fence — the ``cudaDeviceSynchronize`` analogue (a tiny D2H
-    fetch; see timing.device_fence for why block_until_ready is not it)."""
-    device_fence(*arrays)
+    fetch; see timing.device_fence for why block_until_ready is not it).
+    Suppressed under :class:`no_fence` (pipelined benchmark loops)."""
+    if _FENCE_ON:
+        device_fence(*arrays)
 
 
 def _empty_c(A: DeviceCSR, B: DeviceCSR, config) -> DeviceCSR:
@@ -257,6 +279,8 @@ class BucketedState:
     df: bool = False            # double-f32 value pipeline (f64 on-device)
     b_words: object = None      # wide-gather operand (gather classes)
     wk: int = 0                 # words per nonzero in b_words
+    a_words: object = None      # interleaved (hi, lo) A operand
+                                # (planned classes with sparse aidx)
 
 
 def _decide_df(A: CSR, B: CSR, config: SpGEMMConfig, vwords: int) -> bool:
@@ -288,6 +312,11 @@ def prepare_bucketed_state(A: CSR, B: CSR,
         str(_jnp.dtype(config.vdtype)), 0)
     use_df = _decide_df(A, B, config, vwords)
     f32_vals = vwords == 1 or use_df
+    # planned frontend needs an f32/df32 transport (i32 bit planes)
+    planned = "off"
+    if f32_vals:
+        planned = ("on" if bucketed_ops.rf.on_tpu() else "off") \
+            if config.planned == "auto" else config.planned
     plan = bucketed_ops.plan_buckets(
         A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
         area_cap=config.bucket_area_cap,
@@ -297,7 +326,8 @@ def prepare_bucketed_state(A: CSR, B: CSR,
         pow2_fill_widths=(config.esc_tail == "pow2" and f32_vals),
         group=(config.group_gather
                if config.wide_gather != "off" and vwords else "off"),
-        precompute=True)
+        precompute=True,
+        planned=planned)
     return BucketedState(plan=plan, a_val=None, b_col=None,
                          b_val=None, df=use_df)
 
@@ -331,10 +361,17 @@ def spgemm_bucketed(A: CSR, B: CSR,
             if state.df:
                 a64 = A.val.astype(np.float64)
                 b64 = B.val.astype(np.float64)
-                state.a_val = _jnp.asarray(
-                    np.stack(esc_tail_ops.dekker_split_np(a64)))
+                ahi, alo = esc_tail_ops.dekker_split_np(a64)
+                state.a_val = _jnp.asarray(np.stack([ahi, alo]))
                 state.b_val = _jnp.asarray(
                     np.stack(esc_tail_ops.dekker_split_np(b64)))
+                if any(c.pf and not c.pf_spec[5]
+                       for c in plan.classes):
+                    aw = np.empty((max(1, ahi.size), 2), np.float32)
+                    aw[:, 0] = ahi
+                    aw[:, 1] = alo
+                    state.a_words = _jnp.asarray(
+                        aw.view(np.int32).reshape(-1))
             else:
                 state.a_val = _jnp.asarray(A.val.astype(config.vdtype))
                 state.b_val = _jnp.asarray(B.val.astype(config.vdtype))
@@ -393,7 +430,7 @@ def spgemm_bucketed(A: CSR, B: CSR,
                 state.b_pairs, vdtype=config.vdtype,
                 interpret=(config.dma_fill == "interpret"),
                 df=state.df, tail=tail, b_words=state.b_words,
-                wk=state.wk)
+                wk=state.wk, a_words=state.a_words)
         with PhaseTimer.phase(timing, "numeric"):
             _fence(cval)
         C = DeviceCSR(M=A.M, N=B.N, ptr=cptr, col=ccol, val=cval,
@@ -405,7 +442,8 @@ def spgemm_bucketed(A: CSR, B: CSR,
             plan, state.a_val, state.b_col, state.b_val, state.b_pairs,
             vdtype=config.vdtype,
             interpret=(config.dma_fill == "interpret"), df=state.df,
-            tail=tail, b_words=state.b_words, wk=state.wk)
+            tail=tail, b_words=state.b_words, wk=state.wk,
+            a_words=state.a_words)
         if config.profile:
             _fence(main_out[1])        # split main vs extraction exactly
 

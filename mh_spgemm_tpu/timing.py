@@ -112,3 +112,34 @@ def device_fence(*arrays) -> None:
     import numpy as np
     for a in arrays:
         np.asarray(a.reshape(-1)[:1])
+
+
+_RTT_S: float | None = None
+
+
+def fence_round_trip_s(refresh: bool = False) -> float:
+    """Measured cost (seconds) of one ``device_fence`` on a fresh tiny
+    array — the transport's synchronization price, NOT device compute.
+
+    On a local runtime this is microseconds; through the axon relay it
+    is one ~32 ms round trip.  Steady-state benchmarking (driver
+    ``run_matrix``) dispatches all iterations back-to-back, fences once,
+    and subtracts this — the honest analogue of the reference's
+    cudaEvent timing (src/main.cu:14-66), which also excludes
+    host<->device synchronization latency from the per-iteration time.
+    """
+    global _RTT_S
+    if _RTT_S is None or refresh:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda x: x + 1)
+        o = f(jnp.zeros((8,), jnp.int32))
+        device_fence(o)                      # compile + drain
+        best = float("inf")
+        for _ in range(3):
+            o = f(jnp.zeros((8,), jnp.int32))
+            t0 = time.perf_counter()
+            device_fence(o)
+            best = min(best, time.perf_counter() - t0)
+        _RTT_S = best
+    return _RTT_S

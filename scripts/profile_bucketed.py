@@ -109,7 +109,7 @@ def profile(name: str) -> None:
         def prog(class_arrays, a_val, b_col, b_val, b_words):
             acc = jnp.zeros((), jnp.float32)
             for (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-                 out_rows, planar, grp, pre), arrs in zip(specs,
+                 out_rows, planar, grp, pre, pf, pfs), arrs in zip(specs,
                                                           class_arrays):
                 if fill:
                     continue  # fill classes profiled separately
@@ -174,11 +174,16 @@ def profile(name: str) -> None:
         @jax.jit
         def prog(class_arrays, a_val, b_col, b_val, b_words):
             (W, rb, nchunks, eb, hp, sp, fill, stride, wrows,
-             out_rows, planar, grp, pre) = spec
+             out_rows, planar, grp, pre, pf, pfs) = spec
             arrs = class_arrays[ki]
 
             def body(*xs):
-                if pre:
+                if pf:
+                    oC, oV, nnz_row = bk._chunk_planned(
+                        *xs, a_val=a_val, b_col=b_col, b_val=b_val,
+                        W=W, rb=rb, seg_passes=sp, df=df,
+                        tail="on", pf_spec=pfs, vdtype=jnp.float64)
+                elif pre:
                     rows_g, slot_src, slot_aidx = xs
                     oC, oV, nnz_row = bk._chunk_pre(
                         rows_g, slot_src, slot_aidx, a_val, b_col,

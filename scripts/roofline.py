@@ -66,7 +66,7 @@ def audit(name: str) -> dict:
         @jax.jit
         def prog(class_arrays, a_val, b_col, b_val, pairs2d, b_words):
             (W, rb, nchunks, eb, hp, sp, fill, stride, wrows, out_rows,
-             planar, grp, pre) = specs[ki]
+             planar, grp, pre, pf, pfs) = specs[ki]
             arrs = class_arrays[ki]
             if fill:
                 body = functools.partial(
