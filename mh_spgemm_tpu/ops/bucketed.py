@@ -213,6 +213,9 @@ class BucketPlan:
     ext_src_h: Optional[np.ndarray] = None   # int32[nnz_cap], clipped
     cptr_h: Optional[np.ndarray] = None      # int32[m_cap + 1]
     ext_static_dev: Optional[tuple] = None   # (src, cptr) device pair
+    ext_pf: Optional[dict] = None            # planned extraction arrays
+    ext_pf_spec: Tuple[int, ...] = ()        # (m_e, nst_e, nch, CH, it)
+    ext_pf_dev: Optional[tuple] = None
 
     def stats(self) -> dict:
         """Occupancy/padding counters — the TPU analogue of the reference's
@@ -1810,6 +1813,59 @@ def bucketed_extract(slabs, slab_row_start, cptr, *, m: int, nnz_cap: int,
     return ccol, cval
 
 
+def bucketed_extract_planned(slabs, ext_wblk, ext_rowsel, ext_lane,
+                             ext_masks, *, spec, nnz_cap: int,
+                             nnz_c: int, df: bool = False):
+    """Planned extraction: the slab->CSR gather scheduled on the host
+    and executed by the windowed-gather + static-route kernels
+    (ops/planned.py) over output chunks — replaces three ~8 ns/index
+    XLA takes per output nonzero."""
+    from . import planned as pn
+    m_e, nst_e, nch, CH, interp = spec
+    bits = jax.lax.bitcast_convert_type
+
+    def flat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    cols = flat([oC.reshape(-1) for oC, _, _ in slabs])
+    if df:
+        tabs = [cols,
+                flat([bits(oV[:, 0].reshape(-1), jnp.int32)
+                      for _, oV, _ in slabs]),
+                flat([bits(oV[:, 1].reshape(-1), jnp.int32)
+                      for _, oV, _ in slabs])]
+    else:
+        tabs = [cols,
+                flat([bits(oV.reshape(-1).astype(jnp.float32),
+                           jnp.int32) for _, oV, _ in slabs])]
+
+    def one(wb, rs, ln, mk):
+        g = pn.pgather(tabs, wb, rs, ln, interpret=interp)
+        r = pn.proute(g, mk, nst_e, interpret=interp)
+        return [x[:CH] for x in r]
+
+    if nch == 1:
+        outs = one(ext_wblk[0], ext_rowsel[0], ext_lane[0],
+                   ext_masks[0])
+        outs = [o[None] for o in outs]
+    else:
+        def step(carry, xs):
+            return carry, one(*xs)
+        _, outs = jax.lax.scan(
+            step, None, (ext_wblk, ext_rowsel, ext_lane, ext_masks))
+    ok = jnp.arange(nnz_cap, dtype=jnp.int32) < np.int32(nnz_c)
+    ccol = jnp.where(ok, outs[0].reshape(-1)[:nnz_cap], 0)
+    if df:
+        z = jnp.float32(0)
+        hi = bits(outs[1].reshape(-1)[:nnz_cap], jnp.float32)
+        lo = bits(outs[2].reshape(-1)[:nnz_cap], jnp.float32)
+        cval = (jnp.where(ok, hi, z).astype(jnp.float64)
+                + jnp.where(ok, lo, z).astype(jnp.float64))
+        return ccol, cval
+    v = bits(outs[1].reshape(-1)[:nnz_cap], jnp.float32)
+    return ccol, jnp.where(ok, v, jnp.float32(0))
+
+
 def bucketed_extract_static(slabs, ext_src, *, nnz_c: int,
                             df: bool = False):
     """Warm extraction with host-precomputed slab sources: three takes
@@ -1923,6 +1979,52 @@ def attach_static_extract(plan: BucketPlan) -> None:
     full[: plan.m + 1] = cptr
     plan.cptr_h = full.astype(np.int32)
     plan.ext_static_dev = None
+    plan.ext_pf = None
+    plan.ext_pf_dev = None
+    # planned extraction: schedule the slab->CSR gather through the
+    # same windowed-gather + static-route kernels as the planned
+    # frontend (the 3 XLA takes cost ~25 ns per output nonzero and
+    # dominate the fused program once the main stage is planned)
+    if any(c.pf for c in plan.classes) and plan.nnz_c:
+        interp = any(c.pf_spec[4] for c in plan.classes if c.pf)
+        from . import planned as pnm
+        CH = _PF_CHUNK_CAP
+        nch = max(1, -(-plan.nnz_cap // CH))
+        scheds = []
+        for i in range(nch):
+            lo = i * CH
+            hi = min(plan.nnz_c, lo + CH)
+            srcs = (plan.ext_src_h[lo:hi].astype(np.int64)
+                    if hi > lo else np.zeros(0, np.int64))
+            scheds.append(pnm.plan_pgather(srcs, 0))
+        Ge = max(s[0].shape[0] for s in scheds)
+        m_e = pnm._pow2(max(Ge * 1024, CH, 1024))
+        if m_e <= 4 * _PF_CHUNK_CAP:
+            host = {k: [] for k in ("wblk", "rowsel", "lane", "masks")}
+            nst_e = 0
+            for i, (wb, rs, ln, pm) in enumerate(scheds):
+                Gmax = m_e // 1024
+                wb2 = np.zeros(Gmax, np.int32)
+                wb2[: wb.shape[0]] = wb
+                rs2 = np.zeros((Gmax * 8, 128), np.int32)
+                rs2[: rs.shape[0]] = rs
+                ln2 = np.zeros((Gmax * 8, 128), np.int32)
+                ln2[: ln.shape[0]] = ln
+                pm2 = np.full(Gmax * 1024, -1, np.int64)
+                pm2[: pm.size] = pm
+                live = pm2 >= 0
+                dest = np.full(m_e, -1, np.int64)
+                dest[np.flatnonzero(live)] = pm2[live]
+                free = np.setdiff1d(np.arange(m_e, dtype=np.int64),
+                                    pm2[live])
+                dest[dest < 0] = free
+                masks, nst_e = pnm.plan_route(dest, m_e)
+                host["wblk"].append(wb2)
+                host["rowsel"].append(rs2)
+                host["lane"].append(ln2)
+                host["masks"].append(masks)
+            plan.ext_pf = {k: np.stack(v) for k, v in host.items()}
+            plan.ext_pf_spec = (m_e, nst_e, nch, CH, interp)
 
 
 def warm_plan_from_crow(plan: BucketPlan, crow: np.ndarray) -> None:
@@ -2133,14 +2235,16 @@ def bucketed_extract_mosaic(slabs, win_row, runs, slab_row_start, cptr,
 @functools.partial(jax.jit, static_argnames=("specs", "m", "vdtype",
                                              "interpret", "nnz_cap",
                                              "ext_spec", "df", "tail",
-                                             "wk", "nnz_c"))
+                                             "wk", "nnz_c",
+                                             "ext_pf_spec"))
 def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
                    slab_row_start, ext_win, ext_runs, a_words, *,
                    specs: Tuple[Tuple[int, ...], ...], m: int,
                    vdtype=None, interpret: bool = False,
                    nnz_cap: int = 1, ext_spec=None, df: bool = False,
                    tail: str = "off", b_words=None, wk: int = 0,
-                   ext_static=None, nnz_c: int = 0):
+                   ext_static=None, nnz_c: int = 0,
+                   ext_pf=None, ext_pf_spec=()):
     """Warm-path program: main stage + extraction traced as ONE dispatch.
 
     Once the first run's totals fetch has fixed ``nnz_cap`` (and the
@@ -2159,8 +2263,13 @@ def bucketed_fused(class_arrays, a_val, b_col, b_val, pairs2d,
         # host-precomputed sources + cptr constant: the device-side
         # crow/cptr/slab_src computations above are dead code XLA prunes
         ext_src, cptr_const = ext_static
-        ccol, cval = bucketed_extract_static(slabs, ext_src,
-                                             nnz_c=nnz_c, df=df)
+        if ext_pf is not None:
+            ccol, cval = bucketed_extract_planned(
+                slabs, *ext_pf, spec=ext_pf_spec,
+                nnz_cap=ext_src.shape[0], nnz_c=nnz_c, df=df)
+        else:
+            ccol, cval = bucketed_extract_static(slabs, ext_src,
+                                                 nnz_c=nnz_c, df=df)
         return cptr_const, ccol, cval
     if ext_spec is not None:
         ccol, cval = bucketed_extract_mosaic(
@@ -2196,11 +2305,20 @@ def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
         ext_win = ext_runs = jnp.zeros((1,), jnp.int32)
         ext_spec = None
     ext_static = None
+    ext_pf = None
+    ext_pf_spec = ()
     if plan.ext is None and plan.ext_src_h is not None:
         if plan.ext_static_dev is None:
             plan.ext_static_dev = (jnp.asarray(plan.ext_src_h),
                                    jnp.asarray(plan.cptr_h))
         ext_static = plan.ext_static_dev
+        if plan.ext_pf is not None:
+            if plan.ext_pf_dev is None:
+                plan.ext_pf_dev = tuple(
+                    jnp.asarray(plan.ext_pf[k])
+                    for k in ("wblk", "rowsel", "lane", "masks"))
+            ext_pf = plan.ext_pf_dev
+            ext_pf_spec = plan.ext_pf_spec
     if a_words is None:
         a_words = jnp.zeros((2,), jnp.int32)
     cptr, ccol, cval = bucketed_fused(
@@ -2209,7 +2327,8 @@ def run_bucketed_fused(plan: BucketPlan, a_val, b_col, b_val,
         vdtype=vdtype,
         interpret=interpret, nnz_cap=plan.nnz_cap, ext_spec=ext_spec,
         df=df, tail=tail, b_words=b_words, wk=wk,
-        ext_static=ext_static, nnz_c=plan.nnz_c or 0)
+        ext_static=ext_static, nnz_c=plan.nnz_c or 0,
+        ext_pf=ext_pf, ext_pf_spec=ext_pf_spec)
     if vdtype is not None and jnp.dtype(vdtype) != cval.dtype:
         cval = cval.astype(vdtype)
     return cptr, ccol, cval
