@@ -202,8 +202,12 @@ def profile(name: str) -> None:
                         df=df, vdtype=jnp.float64, b_words=b_words,
                         wk=state.wk if b_words is not None else 0,
                         G=grp)
-                return (jnp.sum(oC).astype(jnp.float32)
-                        + jnp.sum(oV.astype(jnp.float32))
+                wC = jnp.arange(oC.size, dtype=jnp.float32) \
+                    .reshape(oC.shape)
+                wV = jnp.arange(oV.size, dtype=jnp.float32) \
+                    .reshape(oV.shape)
+                return (jnp.sum(oC * wC).astype(jnp.float32)
+                        + jnp.sum(oV.astype(jnp.float32) * wV)
                         + jnp.sum(nnz_row).astype(jnp.float32))
 
             (W, rb, nchunks, *_) = spec

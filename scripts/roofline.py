@@ -74,6 +74,14 @@ def audit(name: str) -> dict:
                     rb=rb, hold_passes=hp, seg_passes=sp, stride=stride,
                     wrows=wrows, out_rows=out_rows, vdtype=jnp.float64,
                     interpret=False, df=df)
+            elif pf:
+                aw = (state.a_words if state.a_words is not None
+                      else jnp.zeros((2,), jnp.int32))
+                body = functools.partial(
+                    bk._chunk_planned, a_val=a_val, b_col=b_col,
+                    b_val=b_val, a_words=aw, W=W, rb=rb,
+                    seg_passes=sp, df=df, tail="on", pf_spec=pfs,
+                    vdtype=jnp.float64)
             elif pre:
                 body = functools.partial(
                     bk._chunk_pre, a_val=a_val, b_col=b_col,
@@ -91,11 +99,14 @@ def audit(name: str) -> dict:
                 def step(carry, xs):
                     return carry, body(*xs)
                 _, (oC, oV, nnz_row) = jax.lax.scan(step, None, arrs)
-            # consume EVERY output — a cols-only reduction lets XLA DCE
-            # the whole value pipeline (the first round-5 audit under-
-            # measured 5x this way)
-            return (jnp.sum(oC).astype(jnp.float32)
-                    + jnp.sum(oV.astype(jnp.float32))
+            # consume EVERY output, iota-weighted — plain sums are
+            # permutation-invariant and let XLA delete the sorts (the
+            # first round-5 audit under-measured 5x via value DCE, the
+            # second via sort elimination)
+            wC = jnp.arange(oC.size, dtype=jnp.float32).reshape(oC.shape)
+            wV = jnp.arange(oV.size, dtype=jnp.float32).reshape(oV.shape)
+            return (jnp.sum(oC * wC).astype(jnp.float32)
+                    + jnp.sum(oV.astype(jnp.float32) * wV)
                     + jnp.sum(nnz_row).astype(jnp.float32))
         return prog
 
