@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     p.add_argument("matrix", nargs="?", default="scircuit")
     p.add_argument("--strategy", default="ragged",
                    choices=["replicate", "allgather", "ragged",
-                            "ragged_overlap"])
+                            "ragged_overlap", "grid2d"])
     p.add_argument("--engine", default="bucketed",
                    choices=["bucketed", "esc"])
     p.add_argument("--iters", type=int, default=3)
@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     import mh_spgemm_tpu  # noqa: F401
     from mh_spgemm_tpu import oracle_spgemm, verify
     from mh_spgemm_tpu.io import suites
-    from mh_spgemm_tpu.parallel.mesh import make_row_mesh
+    from mh_spgemm_tpu.parallel.mesh import make_grid_mesh, make_row_mesh
     from mh_spgemm_tpu.parallel.spgemm_dist import spgemm_dist
     from mh_spgemm_tpu.timing import device_fence  # noqa: F401
 
@@ -47,7 +47,12 @@ def main(argv=None) -> int:
     t1 = None
     d = 1
     while d <= ndev:
-        mesh = make_row_mesh(d)
+        # grid2d needs a 2-D mesh: rows x 2 columns once D >= 4
+        if args.strategy == "grid2d" and d < 4:
+            d *= 2
+            continue        # grid2d needs rows x cols with cols = 2
+        mesh = (make_grid_mesh(d // 2, 2)
+                if args.strategy == "grid2d" else make_row_mesh(d))
         st = {}
         C = spgemm_dist(A, None, mesh, b_strategy=args.strategy,
                         state=st, engine=args.engine)  # warm: plan+compile
@@ -62,7 +67,8 @@ def main(argv=None) -> int:
         if d == 1:
             t1 = ms
         results[d] = {"ms": round(ms, 2),
-                      "efficiency": round(t1 / (d * ms), 3),
+                      "efficiency": (round(t1 / (d * ms), 3)
+                                     if t1 else None),
                       "check": "pass" if ok else "error"}
         d *= 2
 

@@ -63,7 +63,8 @@ def main() -> int:
                     "strategies. The TPU entry is the one-real-chip "
                     "D=1 point."),
            "cpu_mesh": {}, "tpu": None}
-    for strategy in ("allgather", "ragged", "ragged_overlap"):
+    for strategy in ("allgather", "ragged", "ragged_overlap",
+                     "grid2d"):
         out["cpu_mesh"][strategy] = run_child(
             "cpu", 8, ["scircuit", "--strategy", strategy,
                        "--iters", "3"])
