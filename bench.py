@@ -271,6 +271,14 @@ def main() -> int:
     want_masked = os.environ.get("BENCH_MASKED", "1") != "0"
 
     per_matrix, skipped, masked = {}, list(names), {}
+    if os.environ.get("BENCH_MERGE", "1") != "0":
+        # subset reruns (BENCH_MATRICES=...) update the round record in
+        # place instead of clobbering the other members' entries
+        prior = _load_json(_OUT_JSON)
+        for k, v in (prior.get("detail") or {}).items():
+            if k not in names:
+                per_matrix[k] = v
+        masked = dict(prior.get("masked") or {})
     stop = {"flag": False}
 
     def _on_signal(signum, frame):

@@ -73,7 +73,13 @@ _I32_MAX = np.int32(2**31 - 1)
 # the Mosaic fill costs ~1.7 us per grid step, ~0.4 us per run (scalar
 # setup + block walk), and ~2 ns/slot of vector work.  The planner
 # compares the two estimates per class.  Env-overridable for A/B runs.
-_GATHER_NS_PER_SLOT = float(os.environ.get("MHSPGEMM_GATHER_NS", "5.0"))
+# Re-measured 2026-08-20 with ORDER-SENSITIVE consumption: XLA gathers
+# cost ~8 ns per INDEX on v5e (scripts/micro_gather3.py) and the takes
+# frontend pays 3-5 of them per slot -> ~25-40 ns/slot end to end.  The
+# round-4 "5 ns" figure came from a DCE-polluted micro and made the
+# fill cost model reject the DMA expansion on every long-span member
+# (offshore 1.4 -> 4.2 s in the round-5 record).
+_GATHER_NS_PER_SLOT = float(os.environ.get("MHSPGEMM_GATHER_NS", "30.0"))
 # End-to-end per-slot cost for the CLASS-MERGE decision: a padded slot
 # pays the whole pipeline (frontend + df two-product + segmented sums +
 # two sorts ≈ 25-40 ns measured, scripts/profile_bucketed.py round 5),
@@ -657,7 +663,7 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         # duplicate columns possible -> no sort, no pack.
         pw = 2 ** np.ceil(np.log2(np.maximum(1, p_eff))
                           ).astype(np.int64)
-        wclass = np.where(p_eff == 1, 1, np.maximum(8, pw))
+        wclass = np.where(p_eff == 1, 1, np.maximum(2, pw))
     if pow2_fill_widths and active.size:
         # rows headed for fill classes (long average B spans): round the
         # width class up to a power of two so the fused Mosaic ESC tail
@@ -854,6 +860,29 @@ def plan_buckets(a_ptr: np.ndarray, a_col: np.ndarray, b_ptr: np.ndarray,
         if planned != "off" and vwords in (1, 2):
             attach_planned(classes, int(b_ptr[-1]),
                            interp=(planned == "interpret"))
+            demoted = 0
+            total_nf = 0
+            for c in classes:
+                # LONG-SPAN W>1 classes the planned frontend could not
+                # schedule fall back to the ESC frontend: its hold-scan
+                # broadcasts the A operand per ENTRY where the flat
+                # takes path pays two per-slot gathers (cage12 A/B: esc
+                # 1.28 s vs flat pre 2.18 s).  Short-span classes keep
+                # the flat path (entries ~ slots there, so ESC's seed
+                # scatters cost more than the takes — webbase A/B: pre
+                # 428 ms vs esc 481).  W=1 keeps the direct path.
+                slots = c.W * c.rb * c.nchunks
+                if not c.fill:
+                    total_nf += slots
+                ents = int((c.ent_len > 0).sum())
+                span = (float(c.ent_len[c.ent_len > 0].mean())
+                        if ents else 0.0)
+                if (c.pre and not c.pf and c.W > 1 and not c.fill
+                        and span >= 5.0):
+                    c.pre = False
+                    c.slot_src = None
+                    c.slot_aidx = None
+                    demoted += slots
 
     # flat offset of each row's slab in the concatenated class slabs
     # (extraction reads output j of row r at slab_row_start[r] + rank)

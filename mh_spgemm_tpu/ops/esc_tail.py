@@ -49,8 +49,11 @@ _BLKS = 1 << 16
 
 
 def supported_w2(w: int) -> bool:
-    """Fused-tail feasibility for a class of (pow2) slot width ``w``."""
-    return 8 <= w <= _BLKS and (w & (w - 1)) == 0
+    """Fused-tail feasibility for a class of (pow2) slot width ``w``.
+    The lane-segmented network handles any pow2 >= 2 (a width-2 sort is
+    one compare-exchange); tiny widths matter for road-network-like
+    suites where most rows have 2-4 products."""
+    return 2 <= w <= _BLKS and (w & (w - 1)) == 0
 
 
 def _fmod(shape, w2: int):

@@ -317,6 +317,8 @@ def prepare_bucketed_state(A: CSR, B: CSR,
     if f32_vals:
         planned = ("on" if bucketed_ops.rf.on_tpu() else "off") \
             if config.planned == "auto" else config.planned
+    import os as _os
+    precompute = _os.environ.get("MHSPGEMM_PRE", "1") != "0"
     plan = bucketed_ops.plan_buckets(
         A.ptr, A.col, B.ptr, min_width=config.min_bucket_width,
         area_cap=config.bucket_area_cap,
@@ -326,8 +328,31 @@ def prepare_bucketed_state(A: CSR, B: CSR,
         pow2_fill_widths=(config.esc_tail == "pow2" and f32_vals),
         group=(config.group_gather
                if config.wide_gather != "off" and vwords else "off"),
-        precompute=True,
-        planned=planned)
+        precompute=precompute,
+        planned=planned if precompute else "off")
+    if precompute and planned != "off":
+        # when the long-span ESC demotions dominate the non-fill area,
+        # the legacy planner's 1.25-width grid + its own chunking beat
+        # the pow2/precompute structure outright (cage12 A/B: legacy
+        # 1.28 s vs demoted-esc 1.67 s) — replan wholesale
+        nf = [(c, c.W * c.rb * c.nchunks)
+              for c in plan.classes if not c.fill]
+        tot = sum(s for _, s in nf)
+        esc = sum(s for c, s in nf if not c.pre and not c.pf)
+        if tot and esc / tot >= 0.6:
+            plan = bucketed_ops.plan_buckets(
+                A.ptr, A.col, B.ptr,
+                min_width=config.min_bucket_width,
+                area_cap=config.bucket_area_cap,
+                vwords=vwords if vwords else 2,
+                dma_fill=config.dma_fill if vwords else "off",
+                planar=f32_vals,
+                pow2_fill_widths=(config.esc_tail == "pow2"
+                                  and f32_vals),
+                group=(config.group_gather
+                       if config.wide_gather != "off" and vwords
+                       else "off"),
+                precompute=False, planned="off")
     return BucketedState(plan=plan, a_val=None, b_col=None,
                          b_val=None, df=use_df)
 

@@ -143,8 +143,8 @@ def test_df_range_guard():
 
 
 def test_supported_widths():
-    assert supported_w2(8) and supported_w2(65536)
-    assert not supported_w2(4) and not supported_w2(3 << 10)
+    assert supported_w2(2) and supported_w2(8) and supported_w2(65536)
+    assert not supported_w2(1) and not supported_w2(3 << 10)
     assert not supported_w2(1 << 17)
 
 
@@ -225,3 +225,29 @@ def test_engine_flat_tail_pre_classes(monkeypatch):
         assert C.host().equals(ref, tol=1e-9)
     assert calls["n"] > 0
     assert all(c.pre and not c.fill for c in state.plan.classes)
+
+
+def test_tail_tiny_widths():
+    """w2=2 and w2=4 segments (one/five compare-exchanges): road-network
+    suites put most rows here."""
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    for w2 in (2, 4):
+        rows = 512
+        K = rng.integers(0, 3, (rows, w2)).astype(np.int32)
+        n = rng.integers(1, w2 + 1, rows).astype(np.int32)
+        K[np.arange(w2)[None, :] >= n[:, None]] = 2**31 - 1
+        K.sort(axis=1)
+        H = rng.standard_normal((rows, w2)).astype(np.float32)
+        L = (H * 1e-9).astype(np.float32)
+        bits = lambda x: jnp.asarray(x).view(jnp.int32)
+        ok, oh, ol = esc_tail(jnp.asarray(K), bits(H), bits(L),
+                              jnp.asarray(n), w2=w2, f64=True,
+                              interpret=True)
+        ok = np.asarray(ok)
+        for r in range(rows):
+            cols = K[r][K[r] < 2**31 - 1]
+            want = np.unique(cols)
+            got = ok[r][ok[r] < 2**31 - 1]
+            assert np.array_equal(got, want), (w2, r)
