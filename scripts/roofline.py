@@ -132,6 +132,10 @@ def audit(name: str) -> dict:
             floor_ms = (s_total * bk._FILL_STEP_US * 1e-3
                         + r_total * bk._FILL_RUN_US * 1e-3
                         + slots * (bk._FILL_NS_PER_SLOT + 3.0) * 1e-6)
+        elif c.pf:
+            # planned frontend: windowed gather + route + tail, measured
+            # ~5-8 ns/slot all-in (ops/planned.py)
+            floor_ms = slots * 5.0 * 1e-6
         else:
             floor_ms = slots * (bk._GATHER_NS_PER_SLOT + 3.0) * 1e-6
         # minimum bytes: each product moves col + value words once in,
@@ -140,6 +144,7 @@ def audit(name: str) -> dict:
         rows.append({
             "W": c.W, "G": c.G, "frontend":
                 ("fill" if c.fill else f"grouped{c.G}" if c.G > 1
+                 else "planned" if c.pf else "pre" if c.pre
                  else "gather"),
             "rows": live, "slots": slots, "products": prods,
             "ms": round(ms, 3),
